@@ -1,0 +1,50 @@
+"""Pipeline configuration.
+
+The signature config mirrors the reference defaults so that our signatures
+have datasketches semantics:
+  - seed 9001            (reference: theta/constants.go:52 DefaultSeed)
+  - murmur3-128 .h1 >> 1 (reference: theta/hashtable.go:104-158 screening)
+  - k = 128 minimum values (KMV / theta with lgK=7 nominal)
+  - 128 permutations MinHash, 16 bands x 8 rows LSH
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+from dataclasses import asdict, dataclass, field
+
+
+# reference: theta/constants.go:39-52
+MAX_THETA = (1 << 63) - 1  # math.MaxInt64, Java compatibility
+DEFAULT_SEED = 9001
+
+
+@dataclass(frozen=True)
+class DedupConfig:
+    """Configuration for the near-duplicate detection pipeline."""
+
+    seed: int = DEFAULT_SEED
+    shingle_size: int = 5            # 5-gram token shingles
+    num_perms: int = 128             # MinHash permutations
+    num_bands: int = 16              # LSH bands
+    rows_per_band: int = 8           # rows per band (16*8 = 128)
+    kmv_k: int = 128                 # k-minimum-values signature size
+    jaccard_threshold: float = 0.70  # near-dup verification tau
+    containment_threshold: float = 0.50   # containment-candidate est threshold
+    containment_min_shared: int = 8  # min shared KMV hashes for containment cand.
+    bucket_cap: int = 64             # LSH bucket size cap (mega-bucket guard)
+    neighbor_window: int = 4         # pairs window inside capped mega-buckets
+    max_cc_iters: int = 50           # connected-components iteration bound
+    min_content_len: int = 1         # reference rejects empty strings
+                                     # (theta/update_sketch.go:353-356)
+    arrow_batch_rows: int = 2048     # maxRecordsPerBatch for signature UDFs
+
+    def config_hash(self) -> str:
+        """Stable hash identifying this config (keys checkpoint dirs)."""
+        blob = json.dumps(asdict(self), sort_keys=True).encode()
+        return hashlib.sha256(blob).hexdigest()[:16]
+
+    def __post_init__(self) -> None:
+        if self.num_bands * self.rows_per_band != self.num_perms:
+            raise ValueError("num_bands * rows_per_band must equal num_perms")
