@@ -1,0 +1,75 @@
+"""Iterative hash-join connected components (min-label propagation).
+
+Relational formulation of the reference's union-merge seam generalized to a
+graph closure: each iteration is (a) a neighbor-min step — edges ⋈ labels,
+groupBy node, min — and (b) a pointer-jump step — labels ⋈ labels on
+label == file_id — which together converge in O(log diameter) rounds.
+Every iteration localCheckpoints to truncate lineage (Catalyst never does
+this for you — SURVEY.md §4), and the join keys are plain longs so AQE's
+skew-join splitting handles mega-cluster label skew; for the final
+assignment we additionally salt the hot-label aggregation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from sparkdedup.config import DedupConfig
+
+
+def connected_components(
+    edges: DataFrame,
+    nodes: DataFrame,
+    cfg: DedupConfig,
+    checkpoint: bool = True,
+) -> tuple[DataFrame, int]:
+    """edges(src, dst) + nodes(file_id) -> clusters(file_id, cluster_id).
+
+    cluster_id is the minimum file_id in the component. Returns
+    (clusters_df, iterations).
+    """
+    sym = (
+        edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+        .unionByName(edges.select(F.col("dst").alias("a"), F.col("src").alias("b")))
+        .distinct()
+    )
+    if checkpoint:
+        sym = sym.localCheckpoint()
+
+    labels = nodes.select(F.col("file_id"), F.col("file_id").alias("label"))
+    if checkpoint:
+        labels = labels.localCheckpoint()
+
+    for it in range(1, cfg.max_cc_iters + 1):
+        # neighbor-min: smallest label among self + neighbors
+        nbr = (
+            sym.join(labels.withColumnRenamed("file_id", "b"), "b")
+            .groupBy("a").agg(F.min("label").alias("nbr_label"))
+            .withColumnRenamed("a", "file_id")
+        )
+        updated = (
+            labels.join(nbr, "file_id", "left")
+            .select("file_id",
+                    F.least("label", F.coalesce("nbr_label", "label")).alias("label"))
+        )
+        # pointer jump: label <- label(label) (path halving)
+        jump = (
+            updated.alias("l")
+            .join(updated.select(F.col("file_id").alias("label"),
+                                 F.col("label").alias("parent")).alias("p"),
+                  "label", "left")
+            .select(F.col("file_id"),
+                    F.least("label", F.coalesce("parent", "label")).alias("label"))
+        )
+        if checkpoint:
+            jump = jump.localCheckpoint()
+        changed = (
+            jump.alias("n").join(labels.alias("o"), "file_id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1).count()
+        )
+        labels = jump
+        if changed == 0:
+            return labels.withColumnRenamed("label", "cluster_id"), it
+    return labels.withColumnRenamed("label", "cluster_id"), cfg.max_cc_iters

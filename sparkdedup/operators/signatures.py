@@ -1,0 +1,137 @@
+"""Signature stage: files -> per-file dedup signatures, one mapInPandas pass.
+
+All math is vectorized numpy over Arrow batches (no per-row python except
+C-speed hashlib/regex calls). The stage computes, per file:
+  file_id   - murmur3-128(h1, seed 42) of repo\\0path\\0commit (int64)
+  sha       - sha256 hex of content (per-row invariant vs source table)
+  n_tokens / n_shingles
+  kmv       - k=128 minimum values of 5-gram shingle hashes (sorted,
+              theta semantics: reference theta/hashtable.go:104-116)
+  kmv_theta / kmv_count
+  minh      - 128-perm MinHash signature
+  simhash   - 64-bit SimHash
+  bands     - 16 LSH band hashes (murmur3 over each 8-row slice of minh)
+
+Distribution model: this is the "update" half of the reference's
+update/union split (theta/union.go design seam) — each Arrow batch is an
+independent partial computation, embarrassingly parallel across executors.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from sparkdedup.config import DedupConfig
+from sparkdedup.functions.minhash import make_salts, minhash_signatures_segmented
+from sparkdedup.functions.murmur3 import murmur3_128_bytes, murmur3_128_int64_rows
+from sparkdedup.functions.simhash import simhash_segmented
+from sparkdedup.functions.theta import MAX_THETA
+from sparkdedup.functions.tokenize import shingle_hashes_batch, token_hashes_batch
+
+U64 = np.uint64
+
+SIGNATURE_SCHEMA = (
+    "file_id long, repo string, path string, commit string, lang string, "
+    "sha string, n_tokens int, n_shingles int, "
+    "kmv array<long>, kmv_theta long, kmv_count int, "
+    "minh array<long>, simhash long, bands array<long>"
+)
+
+
+def compute_signatures_pdf(pdf: pd.DataFrame, cfg: DedupConfig) -> pd.DataFrame:
+    """Signature computation for one pandas batch (pure function, testable)."""
+    n = len(pdf)
+    repo, path, commit = pdf["repo"], pdf["path"], pdf["commit"]
+    content = pdf["content"].fillna("")
+
+    keys = [f"{r}\x00{p}\x00{c}".encode("utf-8")
+            for r, p, c in zip(repo, path, commit)]
+    fid_h1, _ = murmur3_128_bytes(keys, 42)
+    file_id = fid_h1.astype(np.int64)
+
+    sha = [hashlib.sha256(t.encode("utf-8")).hexdigest() for t in content]
+
+    tok_h, tok_seg, n_tokens = token_hashes_batch(content, cfg.seed)
+    sh, sh_seg, _n_sh_raw = shingle_hashes_batch(
+        tok_h, tok_seg, n_tokens, cfg.shingle_size, cfg.seed)
+
+    # distinct shingle hashes per doc (KMV is over the distinct set)
+    order = np.lexsort((sh, sh_seg))
+    sh_s, seg_s = sh[order], sh_seg[order]
+    keep = np.ones(len(sh_s), dtype=bool)
+    if len(sh_s):
+        keep[1:] = (sh_s[1:] != sh_s[:-1]) | (seg_s[1:] != seg_s[:-1])
+    sh_u, seg_u = sh_s[keep], seg_s[keep]
+
+    counts = np.bincount(seg_u, minlength=n)
+    k = cfg.kmv_k
+    kmv_col: list[list[int]] = [[] for _ in range(n)]
+    theta_col = np.full(n, MAX_THETA, dtype=np.int64)
+    kmv_count = np.zeros(n, dtype=np.int64)
+    if len(sh_u):
+        starts = np.cumsum(counts) - counts
+        # per-doc k smallest: values are sorted within each segment already
+        for d in np.flatnonzero(counts):
+            s, c = starts[d], counts[d]
+            if c > k:
+                theta_col[d] = int(sh_u[s + k])
+                kmv_count[d] = k
+                kmv_col[d] = sh_u[s : s + k].astype(np.int64).tolist()
+            else:
+                kmv_count[d] = c
+                kmv_col[d] = sh_u[s : s + c].astype(np.int64).tolist()
+
+    salts = make_salts(cfg.num_perms, cfg.seed)
+    minh = minhash_signatures_segmented(sh_u, seg_u, n, salts)  # (n, perms) u64
+    sim = simhash_segmented(sh_u, seg_u, n)
+
+    # LSH band hashes: murmur3 over each 8-perm slice, salted by band index
+    bands = np.empty((n, cfg.num_bands), dtype=np.int64)
+    r = cfg.rows_per_band
+    for b in range(cfg.num_bands):
+        bh1, _ = murmur3_128_int64_rows(minh[:, b * r : (b + 1) * r],
+                                        cfg.seed + b + 1)
+        bands[:, b] = bh1.astype(np.int64)
+
+    return pd.DataFrame({
+        "file_id": file_id,
+        "repo": repo.to_numpy(),
+        "path": path.to_numpy(),
+        "commit": commit.to_numpy(),
+        "lang": pdf["lang"].to_numpy(),
+        "sha": sha,
+        "n_tokens": n_tokens.astype(np.int32),
+        "n_shingles": counts.astype(np.int32),
+        "kmv": kmv_col,
+        "kmv_theta": theta_col,
+        "kmv_count": kmv_count.astype(np.int32),
+        "minh": list(minh.astype(np.int64)),
+        "simhash": sim.astype(np.int64),
+        "bands": list(bands),
+    })
+
+
+def signature_stage(files: DataFrame, cfg: DedupConfig,
+                    num_partitions: int | None = None) -> DataFrame:
+    """files(repo, path, commit, lang, content) -> signatures DataFrame.
+
+    Repartitions by content key first so Arrow batches are uniform across
+    executors (explicit partition sizing — content length skew would
+    otherwise concentrate big files in few tasks).
+    """
+    df = files.select("repo", "path", "commit", "lang", "content")
+    if num_partitions:
+        df = df.repartition(num_partitions, F.xxhash64("repo", "path", "commit"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf):
+                yield compute_signatures_pdf(pdf, cfg)
+
+    return df.mapInPandas(run, schema=SIGNATURE_SCHEMA)

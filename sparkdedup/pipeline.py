@@ -1,0 +1,175 @@
+"""End-to-end near-duplicate pipeline with per-stage checkpoints + resume.
+
+Stage graph (SURVEY.md §3.4):
+  files -> [signatures] -> exact-sha pre-cluster -> [LSH candidates]
+        -> [verify: KMV-Jaccard] -> [containment pass] -> [edges]
+        -> [connected components] -> clusters
+
+Checkpoint protocol: every stage writes parquet under
+  <workdir>/<config_hash>/<stage>/   with a _SUCCESS marker (Spark's own)
+  and a sidecar <workdir>/<config_hash>/_metrics/<stage>.json
+A rerun skips any stage whose _SUCCESS exists (resume mid-pipeline);
+reading back from parquet also truncates lineage between stages.
+
+Exact duplicates are collapsed BEFORE LSH (groupBy sha, keep min file_id):
+this removes the largest skew source (identical files all landing in the
+same buckets) and shrinks every downstream shuffle.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from dataclasses import dataclass, field
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sparkdedup.config import DedupConfig
+from sparkdedup.operators.components import connected_components
+from sparkdedup.operators.containment import containment_candidates, verify_containment
+from sparkdedup.operators.lsh import candidate_pairs
+from sparkdedup.operators.signatures import signature_stage
+from sparkdedup.operators.verify import verify_candidates
+
+
+@dataclass
+class PipelineResult:
+    signatures: DataFrame
+    edges: DataFrame
+    clusters: DataFrame
+    metrics: dict = field(default_factory=dict)
+
+
+class DedupPipeline:
+    def __init__(self, spark: SparkSession, cfg: DedupConfig,
+                 workdir: str | None = None,
+                 num_partitions: int | None = None,
+                 enable_containment: bool = True):
+        self.spark = spark
+        self.cfg = cfg
+        self.workdir = Path(workdir) if workdir else None
+        self.num_partitions = num_partitions
+        self.enable_containment = enable_containment
+        self.metrics: dict = {"stages": {}}
+
+    # -- checkpoint helpers --------------------------------------------------
+
+    def _stage_dir(self, stage: str) -> Path | None:
+        if self.workdir is None:
+            return None
+        return self.workdir / self.cfg.config_hash() / stage
+
+    def _is_done(self, stage: str) -> bool:
+        d = self._stage_dir(stage)
+        return d is not None and (d / "_SUCCESS").exists()
+
+    def _write_metrics(self, stage: str, payload: dict) -> None:
+        self.metrics["stages"][stage] = payload
+        if self.workdir is None:
+            return
+        mdir = self.workdir / self.cfg.config_hash() / "_metrics"
+        mdir.mkdir(parents=True, exist_ok=True)
+        (mdir / f"{stage}.json").write_text(json.dumps(payload, indent=2))
+
+    def _checkpoint(self, df: DataFrame, stage: str,
+                    partition_by: str | None = None) -> DataFrame:
+        """Write stage output to parquet and read back (lineage cut + resume
+        point). Without a workdir, localCheckpoint instead."""
+        d = self._stage_dir(stage)
+        t0 = time.time()
+        if d is None:
+            out = df.localCheckpoint()
+            n = out.count()
+        else:
+            writer = df.write.mode("overwrite")
+            if partition_by:
+                writer = writer.partitionBy(partition_by)
+            writer.parquet(str(d))
+            out = self.spark.read.parquet(str(d))
+            n = out.count()
+        self._write_metrics(stage, {"rows": n, "seconds": round(time.time() - t0, 3)})
+        return out
+
+    def _load(self, stage: str) -> DataFrame:
+        return self.spark.read.parquet(str(self._stage_dir(stage)))
+
+    # -- stages --------------------------------------------------------------
+
+    def run(self, files: DataFrame) -> PipelineResult:
+        cfg = self.cfg
+        t_start = time.time()
+
+        # stage 1: signatures ------------------------------------------------
+        if self._is_done("signatures"):
+            sigs = self._load("signatures")
+            self.metrics["stages"]["signatures"] = {"resumed": True}
+        else:
+            sigs = signature_stage(files, cfg, self.num_partitions)
+            sigs = self._checkpoint(sigs, "signatures")
+
+        # stage 2: exact-sha pre-cluster ------------------------------------
+        # representative per sha = min file_id; exact edges rep -> member
+        reps = sigs.groupBy("sha").agg(F.min("file_id").alias("rep"),
+                                       F.count("*").alias("copies"))
+        exact_edges = (
+            sigs.join(reps, "sha")
+            .filter(F.col("file_id") != F.col("rep"))
+            .select(F.col("rep").alias("src"), F.col("file_id").alias("dst"))
+        )
+        rep_sigs = sigs.join(
+            reps.select(F.col("rep").alias("file_id")), "file_id", "left_semi")
+
+        # stage 3: LSH candidates + verification -----------------------------
+        if self._is_done("edges"):
+            edges = self._load("edges")
+            self.metrics["stages"]["edges"] = {"resumed": True}
+        else:
+            cands = candidate_pairs(rep_sigs, cfg)
+            near = verify_candidates(cands, rep_sigs, cfg).withColumn(
+                "source", F.lit("lsh"))
+            exact_e = exact_edges.select(
+                "src", "dst", F.lit(1.0).alias("jaccard"),
+                F.lit(1.0).alias("jaccard_lb"), F.lit(1.0).alias("jaccard_ub"),
+                F.lit(1.0).alias("minhash_jaccard"),
+                F.lit(0).cast("int").alias("hamming"),
+                F.lit("sha").alias("source"))
+            edges = near.unionByName(exact_e)
+
+            if self.enable_containment:
+                cont_cand = containment_candidates(rep_sigs, cfg)
+                fid_content = (
+                    sigs.select("file_id", "repo", "path", "commit")
+                    .join(files, ["repo", "path", "commit"])
+                    .select("file_id", "content")
+                )
+                cont = verify_containment(cont_cand, fid_content, cfg)
+                cont_e = cont.select(
+                    "src", "dst",
+                    F.lit(None).cast("double").alias("jaccard"),
+                    F.lit(None).cast("double").alias("jaccard_lb"),
+                    F.lit(None).cast("double").alias("jaccard_ub"),
+                    F.lit(None).cast("double").alias("minhash_jaccard"),
+                    F.lit(None).cast("int").alias("hamming"),
+                    F.lit("containment").alias("source"))
+                edges = edges.unionByName(cont_e)
+
+            edges = self._checkpoint(edges, "edges")
+
+        # stage 4: connected components --------------------------------------
+        if self._is_done("clusters"):
+            clusters = self._load("clusters")
+            self.metrics["stages"]["clusters"] = {"resumed": True}
+        else:
+            # near-dup + exact edges define clusters; containment edges join
+            # clusters only if cluster_contained is set (default: they do)
+            nodes = sigs.select("file_id")
+            cluster_edges = edges.select("src", "dst")
+            clusters, iters = connected_components(cluster_edges, nodes, cfg)
+            clusters = self._checkpoint(clusters, "clusters")
+            self.metrics["cc_iterations"] = iters
+
+        self.metrics["total_seconds"] = round(time.time() - t_start, 3)
+        self.metrics["config_hash"] = self.cfg.config_hash()
+        return PipelineResult(sigs, edges, clusters, self.metrics)
