@@ -1,0 +1,80 @@
+"""Benchmark harness: headline queries + the full dedup pipeline.
+
+Runs every catalog query at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] (default 32) and the
+end-to-end dedup pipeline on a deterministically generated source-file
+corpus. Prints ONE JSON line:
+  {"metric": "total_wall_sec", "value": N, "unit": "sec",
+   "queries": {...}, "sf": ..., "pipeline": {...}}
+
+Scaling-efficiency evidence (north rule; see BENCH/BASELINE.md): run with
+SPARK_GRAFT_CPUS=8 and =32 on the same input and compare
+pipeline files/sec: efficiency = (throughput_32 / throughput_8) / 4.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    n_files = int(os.environ.get("SPARK_GRAFT_BENCH_FILES", "2000"))
+
+    from sparkdedup.config import DedupConfig
+    from sparkdedup.fixtures import generate_corpus
+    from sparkdedup.pipeline import DedupPipeline
+    from sparkdedup.queries import QUERIES
+    from sparkdedup.session import build_session
+
+    spark = build_session(
+        app_name="sparkdedup-bench", master=f"local[{cpus}]",
+        shuffle_partitions=cpus)
+
+    t_all = time.time()
+    timings: dict[str, float] = {}
+    for name, fn in QUERIES.items():
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.time() - t0, 3)
+
+    # end-to-end dedup pipeline throughput on the synthetic file corpus
+    corpus = generate_corpus(n_files=n_files, seed=42)
+    files = spark.createDataFrame(corpus.files).repartition(cpus).cache()
+    files.count()
+    t0 = time.time()
+    pipe = DedupPipeline(spark, DedupConfig(), workdir=None,
+                         num_partitions=cpus)
+    res = pipe.run(files)
+    n_clusters = res.clusters.count()
+    pipe_sec = time.time() - t0
+    pipeline = {
+        "n_files": n_files,
+        "seconds": round(pipe_sec, 3),
+        "files_per_sec": round(n_files / pipe_sec, 2),
+        "n_cluster_rows": n_clusters,
+        "cpus": cpus,
+    }
+
+    total = round(time.time() - t_all, 3)
+    print(json.dumps({
+        "metric": "total_wall_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_dir.rstrip("/").split("sf")[-1],
+        "pipeline": pipeline,
+    }))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

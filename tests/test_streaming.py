@@ -1,0 +1,62 @@
+"""Structured Streaming parity: streaming operators over a file source must
+agree with their batch formulations (memory-sink harness)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_streaming_hourly_rollup_matches_batch(spark, tmp_path):
+    from sparkdedup.streaming.stream_dedup import streaming_hourly_rollup
+
+    batch = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    # file stream source needs a directory
+    src_dir = str(tmp_path / "events_dir")
+    batch.write.parquet(src_dir)
+    stream = spark.readStream.schema(batch.schema).parquet(src_dir)
+
+    agg = streaming_hourly_rollup(stream)
+    q = (agg.writeStream.outputMode("append").format("memory")
+         .queryName("rollup_out")
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .start())
+    q.processAllAvailable()
+    q.stop()
+    got = spark.sql("SELECT * FROM rollup_out").toPandas()
+
+    want = (batch.groupBy(F.date_trunc("hour", "ts").alias("hour"), "event_type")
+            .agg(F.count("*").alias("n"),
+                 F.round(F.sum("value"), 4).alias("sum_value"))).toPandas()
+
+    # watermark in append mode withholds windows not yet closed; everything
+    # emitted must match batch exactly, and most windows should be emitted
+    got_s = got.sort_values(["hour", "event_type"]).reset_index(drop=True)
+    want_s = want.sort_values(["hour", "event_type"]).reset_index(drop=True)
+    merged = got_s.merge(want_s, on=["hour", "event_type"],
+                         suffixes=("_s", "_b"))
+    assert len(merged) == len(got_s)
+    assert (merged["n_s"] == merged["n_b"]).all()
+    assert (abs(merged["sum_value_s"] - merged["sum_value_b"]) < 1e-9).all()
+    assert len(got_s) >= 0.5 * len(want_s)
+
+
+def test_streaming_first_seen_dedup(spark, tmp_path):
+    from sparkdedup.streaming.stream_dedup import streaming_first_seen
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    # give documents an event time so the watermarked dedup applies
+    src = docs.withColumn("ts", F.to_timestamp(F.lit("2024-01-01 00:00:00")))
+    path = str(tmp_path / "docs_ts")
+    src.write.parquet(path)
+    stream = spark.readStream.schema(src.schema).parquet(path)
+    dedup = streaming_first_seen(stream)
+    q = (dedup.writeStream.outputMode("append").format("memory")
+         .queryName("dedup_out")
+         .option("checkpointLocation", str(tmp_path / "ckpt2"))
+         .start())
+    q.processAllAvailable()
+    q.stop()
+    got = spark.sql("SELECT * FROM dedup_out").toPandas()
+    n_distinct = docs.select(F.md5("text")).distinct().count()
+    assert len(got) == n_distinct
