@@ -74,25 +74,46 @@ def shingle_hashes_batch(
         return (np.empty(0, U64), np.empty(0, np.int64),
                 np.zeros(n_docs, np.int64))
     w = shingle_size
+    total = len(token_hashes)
     starts = np.cumsum(n_tokens) - n_tokens  # doc start offsets in flat array
     # number of shingles per doc: max(n - w + 1, 1 if n > 0 else 0)
     n_shingles = np.where(n_tokens > 0, np.maximum(n_tokens - w + 1, 1), 0)
-    # Build index matrix for full-width shingles; short docs get a padded
-    # window clamped to their own range (pad by repeating the last token).
     total_sh = int(n_shingles.sum())
     if total_sh == 0:
         return (np.empty(0, U64), np.empty(0, np.int64), n_shingles)
-    sh_seg = np.repeat(np.arange(n_docs, dtype=np.int64), n_shingles)
-    sh_starts = np.cumsum(n_shingles) - n_shingles
-    within = np.arange(total_sh, dtype=np.int64) - sh_starts[sh_seg]
-    base = starts[sh_seg] + within               # first token index of shingle
-    offs = np.arange(w, dtype=np.int64)[None, :]
-    idx = base[:, None] + offs                   # (total_sh, w)
-    # clamp inside each doc (affects only docs with < w tokens)
-    doc_end = (starts + n_tokens - 1)[sh_seg]
-    idx = np.minimum(idx, doc_end[:, None])
-    rows = token_hashes[idx]                     # (total_sh, w) uint64
-    h1, _ = murmur3_128_int64_rows(rows, seed)
+
+    long_docs = n_tokens >= w
+    # Fast path: hash EVERY w-window of the flat token array through a
+    # zero-copy strided view (includes doc-boundary-crossing windows, ~w
+    # junk rows per boundary), then keep the windows that lie fully inside
+    # a doc. Avoids materializing a (total_sh, w) gather.
+    out_h: list[np.ndarray] = []
+    out_seg: list[np.ndarray] = []
+    if total >= w and long_docs.any():
+        windows = np.lib.stride_tricks.sliding_window_view(token_hashes, w)
+        h1_all, _ = murmur3_128_int64_rows(windows, seed)
+        # valid window starts per long doc: starts[d] .. starts[d]+n-w
+        n_valid = np.where(long_docs, n_tokens - w + 1, 0)
+        vseg = np.repeat(np.arange(n_docs, dtype=np.int64), n_valid)
+        vstarts = np.cumsum(n_valid) - n_valid
+        offs = np.arange(int(n_valid.sum()), dtype=np.int64) - vstarts[vseg]
+        widx = starts[vseg] + offs
+        out_h.append(h1_all[widx])
+        out_seg.append(vseg)
+    # Short docs (< w tokens): one clamped shingle over all their tokens
+    # (pad by repeating the last token) so tiny files still dedup.
+    short = np.flatnonzero(~long_docs & (n_tokens > 0))
+    if len(short):
+        rows = np.empty((len(short), w), dtype=U64)
+        for j, d in enumerate(short):
+            toks = token_hashes[starts[d] : starts[d] + n_tokens[d]]
+            rows[j, : len(toks)] = toks
+            rows[j, len(toks):] = toks[-1]
+        h1s, _ = murmur3_128_int64_rows(rows, seed)
+        out_h.append(h1s)
+        out_seg.append(short.astype(np.int64))
+    h1 = np.concatenate(out_h) if out_h else np.empty(0, U64)
+    sh_seg = np.concatenate(out_seg) if out_seg else np.empty(0, np.int64)
     sh = h1 >> U64(1)                            # theta screening shift
     keep = sh != U64(0)
     return sh[keep], sh_seg[keep], n_shingles

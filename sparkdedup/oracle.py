@@ -24,7 +24,7 @@ import numpy as np
 import pandas as pd
 
 from sparkdedup.config import DedupConfig
-from sparkdedup.functions.minhash import make_salts, minhash_signature
+from sparkdedup.functions.minhash import minhash_signature
 from sparkdedup.functions.murmur3 import murmur3_128_bytes, murmur3_128_int64_rows
 from sparkdedup.functions.simhash import simhash_segmented
 from sparkdedup.functions.theta import MAX_THETA, KmvSketch, jaccard
@@ -49,7 +49,6 @@ def _file_signatures(files: pd.DataFrame, cfg: DedupConfig) -> pd.DataFrame:
             for r, p, c in zip(files["repo"], files["path"], files["commit"])]
     fid_h1, _ = murmur3_128_bytes(keys, 42)
     file_id = fid_h1.astype(np.int64)
-    salts = make_salts(cfg.num_perms, cfg.seed)
 
     rows = []
     for i, text in enumerate(content):
@@ -61,8 +60,9 @@ def _file_signatures(files: pd.DataFrame, cfg: DedupConfig) -> pd.DataFrame:
             theta, kmv = int(shu[k]), shu[:k]
         else:
             theta, kmv = MAX_THETA, shu
-        minh = minhash_signature(shu, salts)
-        sim = int(simhash_segmented(shu, np.zeros(len(shu), np.int64), 1)[0])
+        minh = minhash_signature(shu, cfg.num_perms)
+        sub = shu[: min(len(shu), k)]  # simhash over the KMV subset
+        sim = int(simhash_segmented(sub, np.zeros(len(sub), np.int64), 1)[0])
         bands = []
         r = cfg.rows_per_band
         for b in range(cfg.num_bands):
