@@ -71,20 +71,26 @@ class Corpus:
     meta: dict = field(default_factory=dict)
 
 
-def _gen_content(rng: np.random.Generator, lang: str, vocab: np.ndarray) -> str:
-    n_lines = int(rng.integers(20, 401))
-    kw = _KEYWORDS[lang]
-    lines = []
-    for _ in range(n_lines):
-        n_tok = int(rng.integers(25, 55))
-        kinds = rng.random(n_tok)
-        toks = np.where(
-            kinds < 0.25, rng.choice(kw, n_tok),
-            np.where(kinds < 0.75, vocab[rng.integers(0, len(vocab), n_tok)],
-                     np.where(kinds < 0.9, rng.choice(_PUNCT, n_tok),
-                              rng.integers(0, 10_000, n_tok).astype(str))))
-        lines.append(" ".join(toks))
-    return "\n".join(lines)
+def _gen_content(rng: np.random.Generator, lang: str, vocab: np.ndarray,
+                 min_lines: int = 20, max_lines: int = 400) -> str:
+    """One file's source text, vectorized over its whole token stream.
+
+    Token budget matches the FIXTURES.md spec (20-400 lines x ~40
+    tokens/line); line breaks are inserted every ~40 tokens."""
+    n_lines = int(rng.integers(min_lines, max_lines + 1))
+    n_tok = int(n_lines * rng.integers(25, 55))
+    kw = np.array(_KEYWORDS[lang])
+    kinds = rng.random(n_tok)
+    toks = np.where(
+        kinds < 0.25, kw[rng.integers(0, len(kw), n_tok)],
+        np.where(kinds < 0.75, vocab[rng.integers(0, len(vocab), n_tok)],
+                 np.where(kinds < 0.9,
+                          np.array(_PUNCT)[rng.integers(0, len(_PUNCT), n_tok)],
+                          rng.integers(0, 10_000, n_tok).astype(str))))
+    # newline roughly every 40 tokens (same \s+ token stream either way)
+    toks = toks.astype(object)
+    toks[39::40] = toks[39::40] + "\n"
+    return " ".join(toks.tolist())
 
 
 def _mutate(rng: np.random.Generator, content: str, rate: float) -> str:
@@ -107,7 +113,8 @@ def _mutate(rng: np.random.Generator, content: str, rate: float) -> str:
     return " ".join(out)
 
 
-def generate_corpus(n_files: int = 500, seed: int = 42) -> Corpus:
+def generate_corpus(n_files: int = 500, seed: int = 42,
+                    min_lines: int = 20, max_lines: int = 400) -> Corpus:
     rng = np.random.default_rng(seed)
     vocab = np.array([f"id{i}" for i in range(500)])
 
@@ -133,7 +140,8 @@ def generate_corpus(n_files: int = 500, seed: int = 42) -> Corpus:
         return i
 
     langs = rng.choice(LANGS, n_base, p=LANG_W)
-    base_ids = [add(l, _gen_content(rng, l, vocab), "base") for l in langs]
+    base_ids = [add(l, _gen_content(rng, l, vocab, min_lines, max_lines), "base")
+                for l in langs]
 
     pairs = []  # (src_idx, dst_idx, kind)
     # exact copies
@@ -151,8 +159,8 @@ def generate_corpus(n_files: int = 500, seed: int = 42) -> Corpus:
     for _ in range(n_contained):
         src = int(rng.choice(base_ids))
         lang = rows[src][3]
-        pad1 = _gen_content(rng, lang, vocab)
-        pad2 = _gen_content(rng, lang, vocab)
+        pad1 = _gen_content(rng, lang, vocab, min_lines, max_lines)
+        pad2 = _gen_content(rng, lang, vocab, min_lines, max_lines)
         big = pad1 + "\n" + rows[src][4] + "\n" + pad2
         dst = add(lang, big, "contained")
         pairs.append((src, dst, "contained"))
@@ -168,7 +176,7 @@ def generate_corpus(n_files: int = 500, seed: int = 42) -> Corpus:
         members = []
         for _ in range(bp_group_size):
             lang = str(rng.choice(LANGS, p=LANG_W))
-            body = _gen_content(rng, lang, vocab)
+            body = _gen_content(rng, lang, vocab, min_lines, max_lines)
             members.append(add(lang, header + "\n" + body, "boilerplate"))
         boiler_groups.append(members)
 

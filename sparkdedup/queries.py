@@ -142,17 +142,40 @@ WHERE round(inter * 1.0 / (na.n + nb.n - inter), 6) >= 0.2
 
 def q_substr_containment_docs(spark, sf_dir):
     """Exact substring containment: shorter doc pasted inside longer doc.
-    Length-filtered nested-loop predicate join (Catalyst BNLJ with the
-    small side broadcast)."""
+
+    Scale plan: instead of the O(n^2) nested-loop instr, EQUI-join on a
+    24-char anchor — if ta is inside tb, then ta's first 24 chars equal
+    one of tb's 24-char substrings — then verify candidates with instr.
+    Exactly equivalent to the brute-force oracle (the anchor condition is
+    necessary), but the quadratic scan becomes shuffle join + linear gram
+    explode. Docs shorter than the anchor go through the (tiny) brute
+    branch."""
+    ANCH = 24
     docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
     a = docs.select(F.col("doc_id").alias("src"), F.col("text").alias("ta"))
     b = docs.select(F.col("doc_id").alias("dst"), F.col("text").alias("tb"))
-    return (
-        a.join(b, (F.col("src") != F.col("dst"))
-               & (F.length("ta") < F.length("tb"))
-               & (F.instr(F.col("tb"), F.col("ta")) > 0))
-        .select("src", "dst")
+
+    long_a = a.filter(F.length("ta") >= ANCH).withColumn(
+        "anchor", F.substring("ta", 1, ANCH))
+    b_grams = (
+        b.filter(F.length("tb") >= ANCH)
+        .select("dst", F.col("tb"),
+                F.explode(F.expr(
+                    f"transform(sequence(1, length(tb) - {ANCH} + 1), "
+                    f"i -> substring(tb, i, {ANCH}))")).alias("anchor"))
+        .dropDuplicates(["dst", "anchor"])
     )
+    cand = (long_a.join(b_grams, "anchor")
+            .filter((F.col("src") != F.col("dst"))
+                    & (F.length("ta") < F.length("tb"))))
+    verified = cand.filter(F.instr(F.col("tb"), F.col("ta")) > 0)
+
+    short_a = a.filter(F.length("ta") < ANCH)
+    brute = (short_a.join(b, (F.col("src") != F.col("dst"))
+                          & (F.length("ta") < F.length("tb"))
+                          & (F.instr(F.col("tb"), F.col("ta")) > 0)))
+    return verified.select("src", "dst").unionByName(
+        brute.select("src", "dst")).distinct()
 
 
 SQL_SUBSTR_CONTAINMENT_DOCS = """

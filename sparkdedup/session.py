@@ -16,7 +16,7 @@ def build_session(
     app_name: str = "sparkdedup",
     master: str | None = None,
     shuffle_partitions: int | None = None,
-    arrow_batch_rows: int = 2048,
+    arrow_batch_rows: int = 1024,
     extra_conf: dict[str, str] | None = None,
 ) -> SparkSession:
     cores = os.cpu_count() or 4
@@ -42,7 +42,9 @@ def build_session(
         .config("spark.sql.parquet.compression.codec", "snappy")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.ui.enabled", os.environ.get("SPARK_UI", "false"))
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
+        # local mode: the driver JVM hosts all executor threads' shuffle
+        # and Arrow buffers — size it like the whole cluster, not a driver
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)

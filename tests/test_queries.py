@@ -1,0 +1,125 @@
+"""Driver-contract queries vs DuckDB oracles (local replica of the
+correctness gate, at sf0.001 for speed) + sketch built-in coverage."""
+
+import hashlib
+
+import duckdb
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+SF_DIR = "/root/testdata/sf0.001"
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    yield con
+    con.close()
+
+
+def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        s = df[c]
+        if s.dtype == object:
+            df[c] = s.astype(str)
+        elif "float" in str(s.dtype):
+            df[c] = s.round(6)
+        elif "datetime" in str(s.dtype):
+            df[c] = s.astype(str)
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+def _hash(df):
+    return hashlib.sha256(
+        df.to_csv(index=False, float_format="%.6f").encode()).hexdigest()
+
+
+def all_query_names():
+    from sparkdedup.queries import ORACLES
+
+    return sorted(ORACLES)
+
+
+@pytest.mark.parametrize("name", all_query_names())
+def test_query_matches_oracle(spark, duck, name):
+    from sparkdedup.queries import ORACLES, QUERIES
+
+    sdf = _normalize(QUERIES[name](spark, SF_DIR).toPandas())
+    odf = _normalize(duck.execute(ORACLES[name]).df())
+    assert list(sdf.columns) == list(odf.columns), (list(sdf.columns),
+                                                    list(odf.columns))
+    assert len(sdf) == len(odf)
+    assert _hash(sdf) == _hash(odf), f"value hash mismatch for {name}"
+
+
+def test_rows_only_queries_run(spark):
+    from sparkdedup.queries import ORACLES, QUERIES
+
+    for name in set(QUERIES) - set(ORACLES):
+        df = QUERIES[name](spark, SF_DIR)
+        assert df.count() >= 0
+        assert len(df.schema) > 0
+
+
+def test_entry_contract(spark):
+    import __spark_entry__ as entry_mod
+
+    df = entry_mod.entry(spark)
+    assert df.count() >= 0
+    assert set(entry_mod.oracle_sql()) <= set(entry_mod.queries())
+
+
+def test_hll_accuracy_vs_exact(spark):
+    """HLL built-in (DataSketches-compatible) within 5% of exact counts."""
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    got = (ev.groupBy("event_type")
+           .agg(F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("a"),
+                F.countDistinct("user_id").alias("e"))).toPandas()
+    assert ((got["a"] - got["e"]).abs() / got["e"].clip(lower=1) < 0.05).all()
+
+
+def test_bloom_filter_operator(spark):
+    """DataFrame-native bloom (reference filters/): no false negatives,
+    bounded false-positive rate, mergeable via bit_or union."""
+    from sparkdedup.operators.membership import (bloom_build,
+                                                 bloom_might_contain,
+                                                 bloom_union)
+
+    df = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    keys = df.select("o_custkey").distinct()
+    n = keys.count()
+    bloom = bloom_build(keys, "o_custkey", n, fpp=0.01).cache()
+    # members: all contained
+    res = bloom_might_contain(bloom, keys, "o_custkey").toPandas()
+    assert res["might_contain"].all()
+    # non-members: fpp bounded (generous 5x margin on 0.01)
+    probes = spark.range(1_000_000, 1_002_000).withColumnRenamed(
+        "id", "o_custkey")
+    neg = bloom_might_contain(bloom, probes, "o_custkey").toPandas()
+    assert neg["might_contain"].mean() < 0.05
+    # union with itself is idempotent
+    merged = bloom_union(bloom, bloom)
+    assert merged.count() == bloom.count()
+
+
+def test_count_min_operator(spark):
+    """DataFrame-native count-min (reference count/): never underestimates,
+    eps*N overestimate bound."""
+    from sparkdedup.operators.membership import (count_min_build,
+                                                 count_min_estimate)
+
+    df = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    cms = count_min_build(df, "o_orderpriority", eps=0.01).cache()
+    exact = df.groupBy("o_orderpriority").count().toPandas()
+    probes = df.select("o_orderpriority").distinct()
+    est = count_min_estimate(cms, probes, "o_orderpriority").toPandas()
+    merged = exact.merge(est, on="o_orderpriority")
+    n_total = df.count()
+    assert (merged["estimate"] >= merged["count"]).all()
+    assert (merged["estimate"] <= merged["count"] + 0.01 * n_total + 1).all()

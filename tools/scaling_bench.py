@@ -1,0 +1,130 @@
+"""Two-parallelism-level scaling benchmark (north-rule evidence).
+
+No real multi-node cluster exists in this sandbox, so per BASELINE.md the
+two-cluster-size criterion is evidenced by running the IDENTICAL job +
+IDENTICAL input at local[N] and local[4N] (default N=8): one JVM, N executor
+threads — the same shuffle/partition topology a 4x executor scale-up
+exercises. Efficiency = (throughput_4N / throughput_N) / 4.
+
+Usage: python tools/scaling_bench.py [--files 24000] [--n 8] [--out BENCH]
+Writes BENCH/BASELINE.md (+ JSON) with both raw throughputs.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def run_at(cpus: int, input_path: str, n_files: int, workroot: str) -> dict:
+    from sparkdedup.config import DedupConfig
+    from sparkdedup.pipeline import DedupPipeline
+    from sparkdedup.session import build_session
+
+    spark = build_session(app_name=f"scaling-{cpus}",
+                          master=f"local[{cpus}]", shuffle_partitions=cpus)
+    files = spark.read.parquet(input_path)
+    # warmup: spin up python workers + JIT on a tiny slice (excluded from
+    # the measured window; both sizes get the identical warmup)
+    from sparkdedup.operators.signatures import signature_stage
+    signature_stage(files.limit(64), DedupConfig()).count()
+
+    t0 = time.time()
+    pipe = DedupPipeline(spark, DedupConfig(),
+                         workdir=f"{workroot}/w{cpus}",
+                         num_partitions=2 * cpus)
+    res = pipe.run(files)
+    wall = time.time() - t0
+    out = {
+        "cpus": cpus,
+        "wall_sec": round(wall, 2),
+        "files_per_sec": round(n_files / wall, 2),
+        "stages": {k: v.get("seconds") for k, v in res.metrics["stages"].items()},
+        "cc_iterations": res.metrics.get("cc_iterations"),
+        "edges": res.metrics["stages"].get("edges", {}).get("rows"),
+    }
+    spark.stop()
+    return out
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--files", type=int, default=24000)
+    ap.add_argument("--n", type=int, default=8)
+    ap.add_argument("--out", default="BENCH")
+    ap.add_argument("--min-lines", type=int, default=20)
+    ap.add_argument("--max-lines", type=int, default=400)
+    args = ap.parse_args()
+
+    import tempfile
+
+    from sparkdedup.fixtures import generate_corpus
+    from sparkdedup.session import build_session
+
+    tmp = tempfile.mkdtemp(prefix="scaling_")
+    input_path = f"{tmp}/files"
+    print(f"generating {args.files} files ...", flush=True)
+    t0 = time.time()
+    corpus = generate_corpus(n_files=args.files, seed=42,
+                             min_lines=args.min_lines, max_lines=args.max_lines)
+    gen_sec = time.time() - t0
+    n_tokens = int(corpus.files["content"].str.count(" ").sum()) + len(corpus.files)
+    print(f"generated in {gen_sec:.0f}s, ~{n_tokens/1e6:.0f}M tokens", flush=True)
+
+    spark = build_session(app_name="scaling-writer", master="local[32]")
+    (spark.createDataFrame(corpus.files).repartition(64)
+     .write.mode("overwrite").parquet(input_path))
+    spark.stop()
+    del corpus
+
+    results = []
+    for cpus in (args.n, 4 * args.n):
+        print(f"running at local[{cpus}] ...", flush=True)
+        results.append(run_at(cpus, input_path, args.files, tmp))
+        print(json.dumps(results[-1]), flush=True)
+
+    thr_n, thr_4n = results[0]["files_per_sec"], results[1]["files_per_sec"]
+    eff = (thr_4n / thr_n) / 4.0
+    report = {
+        "n_files": args.files,
+        "approx_tokens_millions": round(n_tokens / 1e6, 1),
+        "N": args.n,
+        "runs": results,
+        "scaling_efficiency_N_to_4N": round(eff, 3),
+    }
+    outdir = Path(args.out)
+    outdir.mkdir(exist_ok=True)
+    (outdir / "scaling.json").write_text(json.dumps(report, indent=2))
+
+    md = f"""# BENCH/BASELINE — measured scaling evidence
+
+North rule: throughput scaling efficiency >= 0.8 between N and 4N
+executors. Sandbox proxy (BASELINE.md): identical job + identical input at
+`local[{args.n}]` (N) and `local[{4*args.n}]` (4N); one warmup pass
+(python-worker spawn + JIT) excluded at both sizes.
+
+Corpus: {args.files} synthetic source files (seed 42, FIXTURES.md spec),
+~{n_tokens/1e6:.0f}M tokens, full dedup pipeline (signatures -> exact-sha
+pre-cluster -> LSH -> KMV-Jaccard verify -> containment -> connected
+components), parquet in / parquet out.
+
+| parallelism | wall (s) | files/sec | stage seconds |
+|---|---|---|---|
+| local[{args.n}] (N) | {results[0]['wall_sec']} | {results[0]['files_per_sec']} | {results[0]['stages']} |
+| local[{4*args.n}] (4N) | {results[1]['wall_sec']} | {results[1]['files_per_sec']} | {results[1]['stages']} |
+
+**Scaling efficiency (N -> 4N): {eff:.3f}** (target >= 0.8)
+"""
+    (outdir / "BASELINE.md").write_text(md)
+    print(md)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
