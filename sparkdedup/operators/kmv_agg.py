@@ -1,0 +1,84 @@
+"""Distributed KMV/theta distinct-count aggregation.
+
+This is the reference's designed distribution seam made literal
+(SURVEY.md §3.1: "the union operation IS the distribution seam"):
+  phase 1 (update, theta/update_sketch.go semantics): per-Arrow-batch
+    partial KMV sketches per group — embarrassingly parallel mapInPandas;
+  phase 2 (union, theta/union.go:79-210 semantics): per-group merge of
+    partial sketches (theta' = min, keep k smallest) in applyInPandas,
+    then estimate = k_retained / theta.
+
+The exchange between the phases is the one shuffle, carrying only
+(group, <=k longs) per partition — the same partial/final shape Spark's
+own HLL aggregate uses, but with theta/KMV semantics and murmur3 parity.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from sparkdedup.functions.murmur3 import murmur3_128_bytes
+from sparkdedup.functions.theta import MAX_THETA, KmvSketch, kmv_from_hashes, kmv_union
+
+U64 = np.uint64
+
+
+def kmv_distinct_agg(df: DataFrame, group_col: str, value_col: str,
+                     k: int = 256, seed: int = 9001) -> DataFrame:
+    """(group, n_distinct_est double, n_retained int, theta_frac double).
+
+    Values are hashed with the reference's murmur3-128 h1 >> 1 screening;
+    distinct-count estimate follows compact-sketch semantics
+    (num_retained / theta)."""
+
+    partial_schema = f"{group_col} string, entries array<long>, theta long"
+
+    def update_phase(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            vals = pdf[value_col].astype(str)
+            codes, uniques = pd.factorize(vals)
+            h1, _ = murmur3_128_bytes(
+                [u.encode("utf-8") for u in uniques], seed)
+            h = (h1 >> U64(1))
+            hashes = h[codes]
+            groups = pdf[group_col].astype(str).to_numpy()
+            out_g, out_e, out_t = [], [], []
+            for g in pd.unique(groups):
+                gh = hashes[groups == g]
+                gh = gh[gh != U64(0)]
+                sk = kmv_from_hashes(gh, k)
+                out_g.append(g)
+                out_e.append(sk.entries.astype(np.int64).tolist())
+                out_t.append(sk.theta)
+            yield pd.DataFrame({group_col: out_g, "entries": out_e,
+                                "theta": out_t})
+
+    partials = df.select(group_col, value_col).mapInPandas(
+        update_phase, schema=partial_schema)
+
+    result_schema = (f"{group_col} string, n_distinct_est double, "
+                     "n_retained int, theta_frac double")
+
+    def union_phase(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        merged = KmvSketch(np.empty(0, U64), MAX_THETA)
+        for _, row in pdf.iterrows():
+            part = KmvSketch(
+                np.asarray(row["entries"], dtype=np.int64).view(U64).copy(),
+                int(row["theta"]))
+            merged = kmv_union(merged, part, k)
+        return pd.DataFrame({
+            group_col: [key[0]],
+            "n_distinct_est": [merged.estimate()],
+            "n_retained": [merged.num_retained],
+            "theta_frac": [merged.theta / float(MAX_THETA)],
+        })
+
+    return partials.groupBy(group_col).applyInPandas(
+        union_phase, schema=result_schema)

@@ -650,6 +650,18 @@ SELECT qid, nid, cosine, rank FROM ranked WHERE rank <= 5
 """
 
 
+def q_kmv_distinct_tokens(spark, sf_dir):
+    """Distinct tokens per source via OUR distributed KMV/theta aggregate
+    (update/union split across a single shuffle). Approximate-deterministic
+    (murmur3) -> rows-only; accuracy asserted vs exact counts in tests."""
+    from sparkdedup.operators.kmv_agg import kmv_distinct_agg
+
+    docs = _read(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", F.explode(F.split(F.trim("text"), r"\s+")).alias("token"))
+    return kmv_distinct_agg(toks, "source", "token", k=256)
+
+
 # --------------------------------------------------------------------------
 # catalog
 # --------------------------------------------------------------------------
@@ -668,6 +680,7 @@ QUERIES = {
     "quantiles_prices": q_quantiles_prices,
     "distinct_users_by_type": q_distinct_users_by_type,
     "hll_distinct_users": q_hll_distinct_users,
+    "kmv_distinct_tokens": q_kmv_distinct_tokens,
     "pricing_summary": q_pricing_summary,
     "top_revenue_orders": q_top_revenue_orders,
     "top_customers_per_nation": q_top_customers_per_nation,
@@ -698,6 +711,7 @@ ORACLES = {
     "repeat_buyers_setops": SQL_REPEAT_BUYERS_SETOPS,
     "embedding_norms": SQL_EMBEDDING_NORMS,
     "ann_cosine_topk": SQL_ANN_COSINE_TOPK,
-    # minhash_lsh_docs, hll_distinct_users: deliberately omitted
+    # minhash_lsh_docs, hll_distinct_users, kmv_distinct_tokens:
+    # deliberately omitted
     # (murmur3/HLL signatures are not ANSI-SQL-expressible) -> rows-only.
 }

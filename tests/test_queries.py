@@ -123,3 +123,20 @@ def test_count_min_operator(spark):
     n_total = df.count()
     assert (merged["estimate"] >= merged["count"]).all()
     assert (merged["estimate"] <= merged["count"] + 0.01 * n_total + 1).all()
+
+
+def test_kmv_distinct_agg_accuracy(spark):
+    """Distributed KMV aggregate within 6% of exact distinct counts."""
+    from sparkdedup.operators.kmv_agg import kmv_distinct_agg
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    toks = docs.select(
+        "source", F.explode(F.split(F.trim("text"), r"\s+")).alias("token"))
+    est = kmv_distinct_agg(toks.repartition(8), "source", "token",
+                           k=256).toPandas()
+    exact = (toks.groupBy("source")
+             .agg(F.countDistinct("token").alias("exact"))).toPandas()
+    m = est.merge(exact, on="source")
+    assert len(m) == len(exact)
+    rel = (m["n_distinct_est"] - m["exact"]).abs() / m["exact"].clip(lower=1)
+    assert (rel < 0.06).all(), m[rel >= 0.06]
