@@ -42,10 +42,20 @@ def connected_components(
         labels = labels.localCheckpoint()
 
     for it in range(1, cfg.max_cc_iters + 1):
-        # neighbor-min: smallest label among self + neighbors
+        # neighbor-min: smallest label among self + neighbors.
+        # Mega-cluster skew guard: a near-universal label (e.g. a huge
+        # boilerplate component) makes one groupBy key carry most rows, so
+        # aggregate in two phases over an explicit salt — (a, salt) partial
+        # min, then final min per a — a salted repartition that bounds any
+        # single reducer's input regardless of cluster size. (Map-side
+        # combine helps the same way, but only within a partition; the
+        # salt bounds the REDUCE side too.)
+        salt = F.pmod(F.xxhash64("b"), F.lit(16)).alias("salt")
         nbr = (
             sym.join(labels.withColumnRenamed("file_id", "b"), "b")
-            .groupBy("a").agg(F.min("label").alias("nbr_label"))
+            .select("a", "label", salt)
+            .groupBy("a", "salt").agg(F.min("label").alias("plabel"))
+            .groupBy("a").agg(F.min("plabel").alias("nbr_label"))
             .withColumnRenamed("a", "file_id")
         )
         updated = (
