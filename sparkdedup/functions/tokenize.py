@@ -91,7 +91,14 @@ def shingle_hashes_batch(
     out_seg: list[np.ndarray] = []
     if total >= w and long_docs.any():
         windows = np.lib.stride_tricks.sliding_window_view(token_hashes, w)
-        h1_all, _ = murmur3_128_int64_rows(windows, seed)
+        # chunked hashing: keeps murmur3's elementwise temporaries at ~2MB
+        # (cache-resident, allocator-reusable) instead of multi-GB streams
+        n_win = len(windows)
+        h1_all = np.empty(n_win, dtype=U64)
+        CH = 1 << 18
+        for s in range(0, n_win, CH):
+            e = min(s + CH, n_win)
+            h1_all[s:e], _ = murmur3_128_int64_rows(windows[s:e], seed)
         # valid window starts per long doc: starts[d] .. starts[d]+n-w
         n_valid = np.where(long_docs, n_tokens - w + 1, 0)
         vseg = np.repeat(np.arange(n_docs, dtype=np.int64), n_valid)

@@ -21,6 +21,12 @@ def build_session(
 ) -> SparkSession:
     cores = os.cpu_count() or 4
     master = master or os.environ.get("SPARK_GRAFT_MASTER", f"local[{cores}]")
+    # Large numpy temporaries default to mmap/munmap per allocation in
+    # glibc (>128KB threshold); with many concurrent python workers that
+    # causes page-fault + THP-compaction storms. Keep big blocks on the
+    # heap so they are reused.
+    os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", str(1 << 30))
+    os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", str(1 << 30))
     # match shuffle width to parallelism in local mode (not the 200 default)
     if shuffle_partitions is None:
         if master.startswith("local["):
@@ -46,6 +52,8 @@ def build_session(
         # and Arrow buffers — size it like the whole cluster, not a driver
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
     )
+    b = b.config("spark.executorEnv.MALLOC_MMAP_THRESHOLD_", str(1 << 30))
+    b = b.config("spark.executorEnv.MALLOC_TRIM_THRESHOLD_", str(1 << 30))
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
     spark = b.getOrCreate()
