@@ -1,0 +1,133 @@
+"""Tuple-sketch aggregate: theta/KMV with per-hash payload summaries.
+
+Reference semantics (tuple/update_sketch.go:36-49, tuple/sketch.go:26-40):
+a theta sketch where every retained hash carries a user value, updated on
+insert and combined by a Policy on union hash-match
+(theta/set_operation.go:36-47). Spark re-expression: the sketch is a pair
+of aligned arrays (entries, payloads); the update phase aggregates payloads
+per retained hash inside each Arrow batch; the union phase merges partials
+with theta'=min + k-trim and applies the policy to colliding hashes.
+
+The canonical use (ArrayOfNumbers / aod sketches) is "distinct keys with a
+numeric summary per key, at bounded memory": e.g. estimated distinct users
+AND their estimated total spend per group from a k-sized sample.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from sparkdedup.functions.murmur3 import murmur3_128_bytes
+from sparkdedup.functions.theta import MAX_THETA
+
+U64 = np.uint64
+
+_POLICIES = {
+    "sum": np.add,
+    "min": np.minimum,
+    "max": np.maximum,
+}
+
+
+def _partial_tuple(keys: pd.Series, payload: np.ndarray, k: int, seed: int):
+    """(entries sorted, payload-aligned, theta) for one group's batch rows."""
+    codes, uniques = pd.factorize(keys.astype(str))
+    h1, _ = murmur3_128_bytes([u.encode("utf-8") for u in uniques], seed)
+    hu = h1 >> U64(1)
+    # aggregate payload per distinct key (sum within batch = update policy)
+    sums = np.zeros(len(uniques), dtype=np.float64)
+    np.add.at(sums, codes, payload)
+    keep = hu != U64(0)
+    hu, sums = hu[keep], sums[keep]
+    order = np.argsort(hu)
+    hu, sums = hu[order], sums[order]
+    if len(hu) > k:
+        theta = int(hu[k])
+        hu, sums = hu[:k], sums[:k]
+    else:
+        theta = MAX_THETA
+    return hu, sums, theta
+
+
+def _merge_tuple(parts, k: int, policy: str):
+    """Union partial tuple sketches: theta'=min, policy on hash collisions,
+    trim to k smallest."""
+    op = _POLICIES[policy]
+    theta = min(p[2] for p in parts) if parts else MAX_THETA
+    all_h = np.concatenate([p[0] for p in parts]) if parts else np.empty(0, U64)
+    all_v = np.concatenate([p[1] for p in parts]) if parts else np.empty(0)
+    m = all_h < U64(theta)
+    all_h, all_v = all_h[m], all_v[m]
+    if len(all_h) == 0:
+        return all_h, all_v, theta
+    order = np.argsort(all_h, kind="stable")
+    h, v = all_h[order], all_v[order]
+    starts = np.flatnonzero(np.r_[True, h[1:] != h[:-1]])
+    uh = h[starts]
+    if policy == "sum":
+        uv = np.add.reduceat(v, starts)
+    elif policy == "min":
+        uv = np.minimum.reduceat(v, starts)
+    else:
+        uv = np.maximum.reduceat(v, starts)
+    if len(uh) > k:
+        theta = int(uh[k])
+        uh, uv = uh[:k], uv[:k]
+    return uh, uv, theta
+
+
+def tuple_sketch_agg(df: DataFrame, group_col: str, key_col: str,
+                     payload_col: str, k: int = 256, seed: int = 9001,
+                     policy: str = "sum") -> DataFrame:
+    """Per group: estimated distinct keys + estimated payload total over
+    the distinct-key population (payload scaled by 1/theta like the count).
+
+    Output: (group, n_distinct_est double, payload_total_est double,
+             n_retained int)."""
+    if policy not in _POLICIES:
+        raise ValueError(f"unknown policy {policy}")
+
+    partial_schema = (f"{group_col} string, entries array<long>, "
+                      "payloads array<double>, theta long")
+
+    def update(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            groups = pdf[group_col].astype(str).to_numpy()
+            payload = pdf[payload_col].astype(float).to_numpy()
+            out = []
+            for g in pd.unique(groups):
+                m = groups == g
+                hu, sums, theta = _partial_tuple(
+                    pdf[key_col][m], payload[m], k, seed)
+                out.append((g, hu.astype(np.int64).tolist(),
+                            sums.tolist(), theta))
+            yield pd.DataFrame(out, columns=[group_col, "entries",
+                                             "payloads", "theta"])
+
+    partials = df.select(group_col, key_col, payload_col).mapInPandas(
+        update, schema=partial_schema)
+
+    out_schema = (f"{group_col} string, n_distinct_est double, "
+                  "payload_total_est double, n_retained int")
+
+    def union(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        parts = [(np.asarray(r["entries"], np.int64).view(U64),
+                  np.asarray(r["payloads"], np.float64),
+                  int(r["theta"])) for _, r in pdf.iterrows()]
+        uh, uv, theta = _merge_tuple(parts, k, policy)
+        f = theta / float(MAX_THETA)
+        return pd.DataFrame({
+            group_col: [key[0]],
+            "n_distinct_est": [len(uh) / f],
+            "payload_total_est": [float(uv.sum()) / f],
+            "n_retained": [len(uh)],
+        })
+
+    return partials.groupBy(group_col).applyInPandas(union, schema=out_schema)
