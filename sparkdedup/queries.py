@@ -662,6 +662,62 @@ def q_kmv_distinct_tokens(spark, sf_dir):
     return kmv_distinct_agg(toks, "source", "token", k=256)
 
 
+
+def q_cube_sales(spark, sf_dir):
+    """CUBE rollup (grouping-sets family): totals at every aggregation
+    level of (returnflag, linestatus)."""
+    li = _read(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+             F.count("*").alias("n"))
+        .select(F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+                F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+                "sum_qty", "n")
+    )
+
+
+SQL_CUBE_SALES = """
+SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+       coalesce(l_linestatus, 'ALL') AS linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       count(*) AS n
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+def q_asof_last_view(spark, sf_dir):
+    """As-of join (Spark has no native one): for every purchase event, the
+    most recent prior-or-equal view event's value by the same user —
+    implemented as union + key-partitioned window carry-forward (one
+    shuffle, no per-group pandas). Oracle: DuckDB native ASOF JOIN."""
+    from sparkdedup.operators.asof import asof_join
+
+    ev = _read(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts")
+    views = (ev.filter(F.col("event_type") == "view")
+             .groupBy("user_id", "ts")
+             .agg(F.max("value").alias("value")))  # unique (by, ts)
+    out = asof_join(purchases, views, on="ts", by="user_id",
+                    value_cols=["value"])
+    return out.select("event_id", "user_id",
+                      F.round("value_right", 6).alias("last_view_value"))
+
+
+SQL_ASOF_LAST_VIEW = """
+WITH purchases AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+), views AS (
+  SELECT user_id, ts, max(value) AS value
+  FROM events WHERE event_type = 'view' GROUP BY 1, 2
+)
+SELECT p.event_id, p.user_id, round(v.value, 6) AS last_view_value
+FROM purchases p ASOF LEFT JOIN views v
+  ON p.user_id = v.user_id AND p.ts >= v.ts
+"""
+
+
 # --------------------------------------------------------------------------
 # catalog
 # --------------------------------------------------------------------------
@@ -689,6 +745,8 @@ QUERIES = {
     "repeat_buyers_setops": q_repeat_buyers_setops,
     "embedding_norms": q_embedding_norms,
     "ann_cosine_topk": q_ann_cosine_topk,
+    "cube_sales": q_cube_sales,
+    "asof_last_view": q_asof_last_view,
 }
 
 ORACLES = {
@@ -711,6 +769,8 @@ ORACLES = {
     "repeat_buyers_setops": SQL_REPEAT_BUYERS_SETOPS,
     "embedding_norms": SQL_EMBEDDING_NORMS,
     "ann_cosine_topk": SQL_ANN_COSINE_TOPK,
+    "cube_sales": SQL_CUBE_SALES,
+    "asof_last_view": SQL_ASOF_LAST_VIEW,
     # minhash_lsh_docs, hll_distinct_users, kmv_distinct_tokens:
     # deliberately omitted
     # (murmur3/HLL signatures are not ANSI-SQL-expressible) -> rows-only.
