@@ -46,13 +46,54 @@ class DedupPipeline:
     def __init__(self, spark: SparkSession, cfg: DedupConfig,
                  workdir: str | None = None,
                  num_partitions: int | None = None,
-                 enable_containment: bool = True):
+                 enable_containment: bool = True,
+                 signature_buckets: int = 1):
         self.spark = spark
         self.cfg = cfg
         self.workdir = Path(workdir) if workdir else None
         self.num_partitions = num_partitions
         self.enable_containment = enable_containment
+        # >1: the signature stage runs as B independently-committed bucket
+        # jobs (bucket = pmod(xxhash64(repo,path,commit), B)) so a killed
+        # run resumes mid-STAGE, re-doing only incomplete buckets.
+        self.signature_buckets = signature_buckets
         self.metrics: dict = {"stages": {}}
+
+    def _run_signatures_bucketed(self, files: DataFrame) -> DataFrame:
+        """Per-bucket signature computation with per-bucket commit markers
+        and row-count counters (the north-rule 'per-partition lineage +
+        metrics' resume granularity)."""
+        from pyspark.sql import functions as F  # local alias for clarity
+
+        cfg = self.cfg
+        B = self.signature_buckets
+        base = self._stage_dir("signatures")
+        base.mkdir(parents=True, exist_ok=True)
+        bucket_col = F.pmod(F.xxhash64("repo", "path", "commit"), F.lit(B))
+        counters = {}
+        t0 = time.time()
+        resumed = 0
+        for b in range(B):
+            marker = base / f"_bucket_{b}_DONE"
+            if marker.exists():
+                resumed += 1
+                continue
+            part = files.filter(bucket_col == b)
+            sigs_b = signature_stage(part, cfg, self.num_partitions)
+            (sigs_b.write.mode("overwrite")
+             .parquet(str(base / f"bucket={b}")))
+            n = self.spark.read.parquet(str(base / f"bucket={b}")).count()
+            counters[str(b)] = n
+            marker.write_text(json.dumps({"rows": n}))
+        # stage-level commit marker once every bucket is present
+        (base / "_SUCCESS").write_text("")
+        out = self.spark.read.parquet(
+            *[str(base / f"bucket={b}") for b in range(B)])
+        self._write_metrics("signatures", {
+            "rows": out.count(), "seconds": round(time.time() - t0, 3),
+            "buckets": B, "buckets_resumed": resumed,
+            "bucket_rows": counters})
+        return out
 
     # -- checkpoint helpers --------------------------------------------------
 
@@ -105,6 +146,8 @@ class DedupPipeline:
         if self._is_done("signatures"):
             sigs = self._load("signatures")
             self.metrics["stages"]["signatures"] = {"resumed": True}
+        elif self.workdir is not None and self.signature_buckets > 1:
+            sigs = self._run_signatures_bucketed(files)
         else:
             sigs = signature_stage(files, cfg, self.num_partitions)
             sigs = self._checkpoint(sigs, "signatures")
