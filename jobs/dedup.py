@@ -28,6 +28,9 @@ def main() -> int:
     ap.add_argument("--partitions", type=int, default=None)
     ap.add_argument("--tau", type=float, default=0.70)
     ap.add_argument("--no-containment", action="store_true")
+    ap.add_argument("--signature-buckets", type=int, default=1,
+                    help="run the signature stage as B independently "
+                         "committed bucket jobs (mid-stage resume)")
     ap.add_argument("--master", default=None)
     args = ap.parse_args()
 
@@ -45,7 +48,8 @@ def main() -> int:
 
     pipe = DedupPipeline(spark, cfg, workdir=args.workdir,
                          num_partitions=args.partitions,
-                         enable_containment=not args.no_containment)
+                         enable_containment=not args.no_containment,
+                         signature_buckets=args.signature_buckets)
     res = pipe.run(files)
     print(json.dumps(res.metrics, indent=2))
     return 0
