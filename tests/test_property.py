@@ -1,0 +1,90 @@
+"""Property-based tests (hypothesis) for the hash and sketch kernels."""
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from sparkdedup.functions.murmur3 import (
+    murmur3_128_bytes,
+    murmur3_128_int64_rows,
+    murmur3_128_int64_scalar,
+    murmur3_128_scalar,
+)
+from sparkdedup.functions.theta import (
+    MAX_THETA,
+    kmv_a_not_b,
+    kmv_from_hashes,
+    kmv_intersect,
+    kmv_union,
+    pairwise_kmv_jaccard,
+)
+
+
+@given(st.binary(min_size=0, max_size=200), st.integers(0, 2**32))
+@settings(max_examples=200, deadline=None)
+def test_murmur3_vectorized_equals_scalar(data, seed):
+    v1, v2 = murmur3_128_bytes([data], seed)
+    s1, s2 = murmur3_128_scalar(data, seed)
+    assert (int(v1[0]), int(v2[0])) == (s1, s2)
+
+
+@given(st.lists(st.integers(0, 2**63 - 1), min_size=1, max_size=9),
+       st.integers(0, 2**32))
+@settings(max_examples=100, deadline=None)
+def test_int64_rows_equals_scalar(values, seed):
+    rows = np.array([values], dtype=np.uint64)
+    h1, h2 = murmur3_128_int64_rows(rows, seed)
+    s1, s2 = murmur3_128_int64_scalar(values, seed)
+    assert (int(h1[0]), int(h2[0])) == (s1, s2)
+
+
+_hash_sets = st.lists(st.integers(1, 2**62), min_size=0, max_size=400,
+                      unique=True)
+
+
+@given(_hash_sets, _hash_sets, st.integers(8, 64))
+@settings(max_examples=100, deadline=None)
+def test_kmv_set_algebra_invariants(a_vals, b_vals, k):
+    a = kmv_from_hashes(np.array(a_vals, dtype=np.uint64), k)
+    b = kmv_from_hashes(np.array(b_vals, dtype=np.uint64), k)
+    u = kmv_union(a, b, k)
+    i = kmv_intersect(a, b)
+    d = kmv_a_not_b(a, b)
+    # structural invariants
+    assert u.num_retained <= k
+    assert np.all(np.diff(u.entries.astype(np.int64)) > 0)  # sorted distinct
+    assert u.theta <= min(a.theta, b.theta)
+    assert set(i.entries.tolist()) <= set(a.entries.tolist())
+    assert set(d.entries.tolist()) <= set(a.entries.tolist())
+    assert set(i.entries.tolist()).isdisjoint(d.entries.tolist())
+    # below min-theta, intersection+difference partition A's survivors
+    theta = min(a.theta, b.theta)
+    surv = {e for e in a.entries.tolist() if e < theta}
+    assert set(i.entries.tolist()) | set(d.entries.tolist()) == surv
+
+
+@given(_hash_sets, _hash_sets)
+@settings(max_examples=100, deadline=None)
+def test_pairwise_jaccard_exact_when_untruncated(a_vals, b_vals):
+    """With k >= |A|+|B| (no trimming) the estimate IS the exact Jaccard."""
+    k = 1024
+    a = kmv_from_hashes(np.array(a_vals, dtype=np.uint64), k)
+    b = kmv_from_hashes(np.array(b_vals, dtype=np.uint64), k)
+    K = 1024
+    sa = np.zeros((1, K), np.uint64)
+    sb = np.zeros((1, K), np.uint64)
+    sa[0, : a.num_retained] = a.entries
+    sb[0, : b.num_retained] = b.entries
+    lb, est, ub, inter = pairwise_kmv_jaccard(
+        sa, np.array([a.theta], np.uint64), np.array([a.num_retained]),
+        sb, np.array([b.theta], np.uint64), np.array([b.num_retained]))
+    A, B = set(a_vals), set(b_vals)
+    if not A and not B:
+        assert est[0] == 1.0
+    elif not A or not B:
+        assert est[0] == 0.0
+    else:
+        true_j = len(A & B) / len(A | B)
+        assert est[0] == true_j
+        assert lb[0] <= est[0] <= ub[0]
+    assert inter[0] == len(A & B)
