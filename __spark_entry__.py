@@ -12,24 +12,59 @@ from __future__ import annotations
 
 import os
 import sys
+import tempfile
+import zipfile
 from collections.abc import Callable
+from functools import partial
 
 from pyspark.sql import DataFrame, SparkSession
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+_REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, _REPO)
+
+_SHIPPED_SESSIONS: set[int] = set()
+
+
+def _ensure_shipped(spark: SparkSession) -> None:
+    """Ship the sparkdedup package to python workers (the driver may run
+    from any cwd; workers don't inherit its sys.path). Equivalent to
+    spark-submit --py-files."""
+    key = id(spark.sparkContext)
+    if key in _SHIPPED_SESSIONS:
+        return
+    zpath = os.path.join(tempfile.gettempdir(), "sparkdedup_pkg.zip")
+    pkg = os.path.join(_REPO, "sparkdedup")
+    sources = [os.path.join(root, n)
+               for root, _dirs, names in os.walk(pkg)
+               for n in names if n.endswith(".py")]
+    newest = max(os.path.getmtime(f) for f in sources)
+    if not os.path.exists(zpath) or os.path.getmtime(zpath) < newest:
+        with zipfile.ZipFile(zpath, "w") as z:
+            for full in sources:
+                z.write(full, os.path.relpath(full, _REPO))
+    spark.sparkContext.addPyFile(zpath)
+    _SHIPPED_SESSIONS.add(key)
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
+    _ensure_shipped(spark)
     from sparkdedup.queries import QUERIES
 
     return QUERIES["minhash_lsh_docs"](spark, "/root/testdata/sf0.001")
 
 
+def _wrapped(name: str, spark: SparkSession, sf_dir: str) -> DataFrame:
+    _ensure_shipped(spark)
+    from sparkdedup.queries import QUERIES
+
+    return QUERIES[name](spark, sf_dir)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from sparkdedup.queries import QUERIES
 
-    return dict(QUERIES)
+    return {name: partial(_wrapped, name) for name in QUERIES}
 
 
 def oracle_sql() -> dict[str, str]:
