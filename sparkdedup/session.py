@@ -58,4 +58,27 @@ def build_session(
         b = b.config(k, v)
     spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    _ship_package(spark)
     return spark
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Make sparkdedup importable on python workers regardless of the
+    driver's cwd (equivalent to spark-submit --py-files)."""
+    import tempfile
+    import zipfile
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    pkg = os.path.join(repo, "sparkdedup")
+    sources = [os.path.join(root, n)
+               for root, _dirs, names in os.walk(pkg)
+               for n in names if n.endswith(".py")]
+    if not sources:
+        return
+    zpath = os.path.join(tempfile.gettempdir(), "sparkdedup_pkg.zip")
+    newest = max(os.path.getmtime(f) for f in sources)
+    if not os.path.exists(zpath) or os.path.getmtime(zpath) < newest:
+        with zipfile.ZipFile(zpath, "w") as z:
+            for full in sources:
+                z.write(full, os.path.relpath(full, repo))
+    spark.sparkContext.addPyFile(zpath)
