@@ -1,0 +1,81 @@
+"""Randomized characterization harness (mirrors the reference's
+cpc/streaming_validation.go / merging_validation.go pattern): long-running
+sketch-vs-exact validation over random streams, printing an accuracy table.
+
+Usage: python tools/characterize.py [--trials 20] [--seed 0]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from sparkdedup.functions.minhash import minhash_signature  # noqa: E402
+from sparkdedup.functions.murmur3 import murmur3_128_int64_single  # noqa: E402
+from sparkdedup.functions.theta import (  # noqa: E402
+    jaccard, kmv_from_hashes, kmv_union, screen_hashes)
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--trials", type=int, default=20)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--k", type=int, default=128)
+    args = ap.parse_args()
+    rng = np.random.default_rng(args.seed)
+
+    print(f"{'n_a':>8} {'n_b':>8} {'true_J':>8} {'kmv_J':>8} {'kmv_err':>8} "
+          f"{'mh_J':>8} {'mh_err':>8} {'est_err_u':>9} {'in_bounds':>9}")
+    kmv_errs, mh_errs, bound_hits = [], [], 0
+    for _ in range(args.trials):
+        n_a = int(rng.integers(100, 200_000))
+        overlap = rng.uniform(0, 1)
+        n_shared = int(n_a * overlap)
+        n_b = n_shared + int(rng.integers(50, 100_000))
+        a_vals = np.arange(0, n_a, dtype=np.uint64)
+        b_vals = np.concatenate([
+            np.arange(0, n_shared, dtype=np.uint64),
+            np.arange(10_000_000, 10_000_000 + (n_b - n_shared),
+                      dtype=np.uint64)])
+        ha = screen_hashes(murmur3_128_int64_single(a_vals, 9001)[0])
+        hb = screen_hashes(murmur3_128_int64_single(b_vals, 9001)[0])
+        true_j = n_shared / (n_a + n_b - n_shared)
+
+        A = kmv_from_hashes(ha, args.k)
+        B = kmv_from_hashes(hb, args.k)
+        lb, est, ub = jaccard(A, B)
+        kmv_err = abs(est - true_j)
+        in_b = lb - 1e-12 <= true_j <= ub + 1e-12
+        bound_hits += in_b
+
+        sa = minhash_signature(np.unique(ha))
+        sb = minhash_signature(np.unique(hb))
+        mh_j = float((sa == sb).mean())
+        mh_err = abs(mh_j - true_j)
+
+        u = kmv_union(A, B, args.k)
+        union_true = n_a + n_b - n_shared
+        est_err_u = abs(u.estimate() - union_true) / union_true
+
+        kmv_errs.append(kmv_err)
+        mh_errs.append(mh_err)
+        print(f"{n_a:8d} {n_b:8d} {true_j:8.4f} {est:8.4f} {kmv_err:8.4f} "
+              f"{mh_j:8.4f} {mh_err:8.4f} {est_err_u:9.4f} {str(in_b):>9}")
+
+    print(f"\nmean |err|: kmv_jaccard={np.mean(kmv_errs):.4f} "
+          f"minhash={np.mean(mh_errs):.4f}  "
+          f"bounds contained truth {bound_hits}/{args.trials} "
+          f"(95% interval expected)")
+    # theoretical sd at k=128 around J=0.5 is ~0.044; fail loudly if wildly off
+    assert np.mean(kmv_errs) < 0.08, "KMV Jaccard error out of envelope"
+    assert np.mean(mh_errs) < 0.10, "MinHash error out of envelope"
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
