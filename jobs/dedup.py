@@ -41,10 +41,8 @@ def main() -> int:
     spark = build_session(app_name="sparkdedup-job", master=args.master)
     cfg = DedupConfig(jaccard_threshold=args.tau)
 
-    try:
-        files = spark.read.format("iceberg").load(args.input)
-    except Exception:
-        files = spark.read.parquet(args.input)
+    from sparkdedup.sources.files_source import read_files_table
+    files = read_files_table(spark, args.input)
 
     pipe = DedupPipeline(spark, cfg, workdir=args.workdir,
                          num_partitions=args.partitions,

@@ -213,16 +213,6 @@ _PAD_A = np.uint64((1 << 63))        # sentinels above the h>>1 hash range
 _PAD_B = np.uint64((1 << 63) + (1 << 62))
 
 
-def _pad_matrix(sigs: np.ndarray, counts: np.ndarray, base: np.uint64) -> np.ndarray:
-    """Replace per-row tail positions >= counts[i] with distinct sentinels."""
-    n, k = sigs.shape
-    cols = np.arange(k, dtype=np.uint64)
-    mask = cols[None, :] >= counts[:, None].astype(np.uint64)
-    out = sigs.astype(U64, copy=True)
-    out[mask] = (base + cols[None, :].astype(U64) * U64(2))[mask]
-    return out
-
-
 def pairwise_kmv_jaccard(
     sig_a: np.ndarray, theta_a: np.ndarray, count_a: np.ndarray,
     sig_b: np.ndarray, theta_b: np.ndarray, count_b: np.ndarray,

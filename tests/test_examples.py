@@ -63,3 +63,22 @@ def test_dedup_example_flow(spark):
     clusters = res.clusters.toPandas()
     # 12 files with 3 distinct contents -> 3 clusters
     assert clusters.cluster_id.nunique() == 3
+
+
+def test_sources_schema_enforcement(spark, tmp_path):
+    from sparkdedup.sources.files_source import (SchemaError,
+                                                 enforce_files_schema,
+                                                 read_files_table)
+    import pytest as _pytest
+
+    df = spark.createDataFrame(
+        [("r", "p", "c", "py", "x", 1)],
+        "repo string, path string, commit string, lang string, "
+        "content string, extra int")
+    out = enforce_files_schema(df)
+    assert out.columns == ["repo", "path", "commit", "lang", "content"]
+    with _pytest.raises(SchemaError):
+        enforce_files_schema(df.drop("lang"))
+    p = str(tmp_path / "files")
+    df.write.parquet(p)
+    assert read_files_table(spark, p).count() == 1
