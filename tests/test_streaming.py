@@ -60,3 +60,38 @@ def test_streaming_first_seen_dedup(spark, tmp_path):
     got = spark.sql("SELECT * FROM dedup_out").toPandas()
     n_distinct = docs.select(F.md5("text")).distinct().count()
     assert len(got) == n_distinct
+
+
+def test_streaming_signatures_match_batch(spark, tmp_path):
+    """The signature stage is stateless, so the same mapInPandas operator
+    must produce identical signatures on a streaming source."""
+    from sparkdedup.config import DedupConfig
+    from sparkdedup.operators.signatures import signature_stage
+    from sparkdedup.streaming.stream_dedup import streaming_signatures
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(50)
+    files = docs.selectExpr("'r' as repo", "cast(doc_id as string) as path",
+                            "'0' as commit", "lang", "text as content")
+    src = str(tmp_path / "files_dir")
+    files.write.parquet(src)
+
+    batch_sigs = signature_stage(spark.read.parquet(src),
+                                 DedupConfig()).toPandas()
+
+    stream = spark.readStream.schema(files.schema).parquet(src)
+    q = (streaming_signatures(stream, DedupConfig())
+         .writeStream.outputMode("append").format("memory")
+         .queryName("sig_stream")
+         .option("checkpointLocation", str(tmp_path / "ck3"))
+         .start())
+    q.processAllAvailable()
+    q.stop()
+    stream_sigs = spark.sql("SELECT * FROM sig_stream").toPandas()
+
+    b = batch_sigs.sort_values("file_id").reset_index(drop=True)
+    s = stream_sigs.sort_values("file_id").reset_index(drop=True)
+    assert len(b) == len(s) == 50
+    assert (b["sha"] == s["sha"]).all()
+    assert (b["simhash"] == s["simhash"]).all()
+    for x, y in zip(b["minh"], s["minh"]):
+        assert list(x) == list(y)
