@@ -718,6 +718,67 @@ FROM purchases p ASOF LEFT JOIN views v
 """
 
 
+
+def q_embedding_neardup_pairs(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs (exact, for the oracle gate):
+    all pairs with cosine >= 0.3. The LSH-bucketed scale path is
+    operators/similarity.py::ann_lsh_topk."""
+    emb = _read(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("src"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("dst"), F.col("embedding").alias("vb"))
+    dot = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x)
+    norm = lambda c: F.sqrt(F.aggregate(  # noqa: E731
+        F.transform(c, lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x))
+    return (a.crossJoin(b).filter(F.col("src") < F.col("dst"))
+            .withColumn("cosine", F.round(dot / (norm(F.col("va"))
+                                                 * norm(F.col("vb"))), 4))
+            .filter(F.col("cosine") >= 0.3)
+            .select("src", "dst", "cosine"))
+
+
+SQL_EMBEDDING_NEARDUP_PAIRS = """
+SELECT a.vec_id AS src, b.vec_id AS dst,
+       round(
+         list_sum(list_transform(range(1, len(a.embedding) + 1),
+           i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+         / (sqrt(list_sum(list_transform(a.embedding,
+              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+            * sqrt(list_sum(list_transform(b.embedding,
+              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4) AS cosine
+FROM embeddings a, embeddings b
+WHERE a.vec_id < b.vec_id
+  AND round(
+        list_sum(list_transform(range(1, len(a.embedding) + 1),
+          i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+        / (sqrt(list_sum(list_transform(a.embedding,
+             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+           * sqrt(list_sum(list_transform(b.embedding,
+             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4) >= 0.3
+"""
+
+
+def q_simhash_near_docs(spark, sf_dir):
+    """SimHash near-dup pairs over documents (exact Hamming index via
+    pigeonhole piece-join). murmur3-based signature -> rows-only."""
+    from sparkdedup.config import DedupConfig
+    from sparkdedup.operators.signatures import signature_stage
+    from sparkdedup.operators.simhash_index import simhash_near_pairs
+
+    docs = _read(spark, sf_dir, "documents")
+    files = docs.select(
+        F.lit("docs").alias("repo"),
+        F.col("doc_id").cast("string").alias("path"),
+        F.lit("0").alias("commit"), F.col("lang"),
+        F.col("text").alias("content"))
+    sigs = signature_stage(files, DedupConfig()).select(
+        F.col("path").cast("long").alias("doc_id"), "simhash")
+    pairs = simhash_near_pairs(sigs, max_hamming=7, id_col="doc_id")
+    return pairs.select(F.col("src"), F.col("dst"), F.col("hamming"))
+
+
 # --------------------------------------------------------------------------
 # catalog
 # --------------------------------------------------------------------------
@@ -747,6 +808,8 @@ QUERIES = {
     "ann_cosine_topk": q_ann_cosine_topk,
     "cube_sales": q_cube_sales,
     "asof_last_view": q_asof_last_view,
+    "embedding_neardup_pairs": q_embedding_neardup_pairs,
+    "simhash_near_docs": q_simhash_near_docs,
 }
 
 ORACLES = {
@@ -771,6 +834,7 @@ ORACLES = {
     "ann_cosine_topk": SQL_ANN_COSINE_TOPK,
     "cube_sales": SQL_CUBE_SALES,
     "asof_last_view": SQL_ASOF_LAST_VIEW,
+    "embedding_neardup_pairs": SQL_EMBEDDING_NEARDUP_PAIRS,
     # minhash_lsh_docs, hll_distinct_users, kmv_distinct_tokens:
     # deliberately omitted
     # (murmur3/HLL signatures are not ANSI-SQL-expressible) -> rows-only.

@@ -48,3 +48,33 @@ def test_lsh_buckets_deterministic(spark, emb):
     b2 = hyperplane_buckets(emb, dim).toPandas().sort_values(
         ["vid", "table"]).reset_index(drop=True)
     assert b1.equals(b2)
+
+
+def test_simhash_index_exact_vs_bruteforce(spark):
+    """Pigeonhole piece-join must find EXACTLY the pairs with
+    hamming <= max_hamming (no recall loss, no false positives)."""
+    import numpy as np
+
+    from sparkdedup.operators.simhash_index import simhash_near_pairs
+
+    rng = np.random.default_rng(3)
+    base = rng.integers(0, 2**63, 40, dtype=np.uint64)
+    sims = list(base)
+    # inject near-duplicates at hamming 1..6 of the first few bases
+    for i in range(12):
+        x = int(base[i % 6])
+        for b in rng.integers(0, 64, size=(i % 6) + 1):
+            x ^= 1 << int(b)
+        sims.append(np.uint64(x))
+    rows = [(i, int(np.int64(s))) for i, s in enumerate(sims)]
+    sigs = spark.createDataFrame(rows, "file_id long, simhash long")
+    got = simhash_near_pairs(sigs, max_hamming=7).toPandas()
+    got_set = set(zip(got.src, got.dst))
+    # brute force
+    want = set()
+    arr = [int(np.uint64(np.int64(s))) for _, s in rows]
+    for i in range(len(arr)):
+        for j in range(i + 1, len(arr)):
+            if bin(arr[i] ^ arr[j]).count("1") <= 7:
+                want.add((i, j))
+    assert got_set == want
