@@ -182,9 +182,20 @@ class DedupPipeline:
 
             if self.enable_containment:
                 cont_cand = containment_candidates(rep_sigs, cfg)
+                cont_cand = cont_cand.localCheckpoint()
+                # content is re-joined ONLY for candidate ids: semi-join the
+                # (small) candidate id set against the signature keys and
+                # broadcast it into the files scan — the corpus content
+                # never shuffles (SCALE.md stage 5).
+                cand_ids = (cont_cand.select(F.col("src").alias("file_id"))
+                            .unionByName(cont_cand.select(
+                                F.col("dst").alias("file_id")))
+                            .distinct())
+                sig_keys = (sigs.join(cand_ids, "file_id", "left_semi")
+                            .select("file_id", "repo", "path", "commit"))
                 fid_content = (
-                    sigs.select("file_id", "repo", "path", "commit")
-                    .join(files, ["repo", "path", "commit"])
+                    files.join(F.broadcast(sig_keys),
+                               ["repo", "path", "commit"])
                     .select("file_id", "content")
                 )
                 cont = verify_containment(cont_cand, fid_content, cfg)
