@@ -31,14 +31,11 @@ class DedupConfig:
     rows_per_band: int = 8           # rows per band (16*8 = 128)
     kmv_k: int = 128                 # k-minimum-values signature size
     jaccard_threshold: float = 0.70  # near-dup verification tau
-    containment_threshold: float = 0.50   # containment-candidate est threshold
     containment_min_shared: int = 8  # min shared KMV hashes for containment cand.
+    containment_posting_cap: int = 32  # drop boilerplate-hot inverted-index hashes
     bucket_cap: int = 64             # LSH bucket size cap (mega-bucket guard)
     neighbor_window: int = 4         # pairs window inside capped mega-buckets
     max_cc_iters: int = 50           # connected-components iteration bound
-    min_content_len: int = 1         # reference rejects empty strings
-                                     # (theta/update_sketch.go:353-356)
-    arrow_batch_rows: int = 2048     # maxRecordsPerBatch for signature UDFs
 
     def config_hash(self) -> str:
         """Stable hash identifying this config (keys checkpoint dirs)."""

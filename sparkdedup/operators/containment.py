@@ -23,8 +23,7 @@ from pyspark.sql import functions as F
 from sparkdedup.config import DedupConfig
 
 
-def containment_candidates(signatures: DataFrame, cfg: DedupConfig,
-                           posting_cap: int = 32) -> DataFrame:
+def containment_candidates(signatures: DataFrame, cfg: DedupConfig) -> DataFrame:
     """(src, dst, shared) pairs sharing >= min_shared KMV hash values.
 
     src/dst ordered by n_shingles (src = smaller file = containee).
@@ -32,7 +31,7 @@ def containment_candidates(signatures: DataFrame, cfg: DedupConfig,
     inv = signatures.select(
         "file_id", "n_shingles", F.explode("kmv").alias("h"))
     hot = inv.groupBy("h").agg(F.count("*").alias("plen"))
-    inv = inv.join(hot, "h").filter(F.col("plen") <= posting_cap)
+    inv = inv.join(hot, "h").filter(F.col("plen") <= cfg.containment_posting_cap)
 
     a = inv.select(F.col("h"), F.col("file_id").alias("fa"),
                    F.col("n_shingles").alias("na"))

@@ -154,7 +154,7 @@ def run_oracle(files: pd.DataFrame, cfg: DedupConfig,
         for s in kmv_sets.values():
             for h in s:
                 posting[h] = posting.get(h, 0) + 1
-        hot = {h for h, c in posting.items() if c > 32}
+        hot = {h for h, c in posting.items() if c > cfg.containment_posting_cap}
         ids = sorted(kmv_sets)
         for i, a in enumerate(ids):
             for b in ids[i + 1:]:
