@@ -724,17 +724,21 @@ def q_embedding_neardup_pairs(spark, sf_dir):
     all pairs with cosine >= 0.3. The LSH-bucketed scale path is
     operators/similarity.py::ann_lsh_topk."""
     emb = _read(spark, sf_dir, "embeddings")
-    a = emb.select(F.col("vec_id").alias("src"), F.col("embedding").alias("va"))
-    b = emb.select(F.col("vec_id").alias("dst"), F.col("embedding").alias("vb"))
+    norm = F.sqrt(F.aggregate(
+        F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x))
+    # norms are computed ONCE per vector below the join (2M-pair plans must
+    # not recompute a per-row reduction per pair)
+    base = emb.select("vec_id", "embedding", norm.alias("nrm"))
+    a = base.select(F.col("vec_id").alias("src"), F.col("embedding").alias("va"),
+                    F.col("nrm").alias("na"))
+    b = base.select(F.col("vec_id").alias("dst"), F.col("embedding").alias("vb"),
+                    F.col("nrm").alias("nb"))
     dot = F.aggregate(
         F.zip_with("va", "vb", lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0), lambda acc, x: acc + x)
-    norm = lambda c: F.sqrt(F.aggregate(  # noqa: E731
-        F.transform(c, lambda x: x.cast("double") * x.cast("double")),
-        F.lit(0.0), lambda acc, x: acc + x))
     return (a.crossJoin(b).filter(F.col("src") < F.col("dst"))
-            .withColumn("cosine", F.round(dot / (norm(F.col("va"))
-                                                 * norm(F.col("vb"))), 4))
+            .withColumn("cosine", F.round(dot / (F.col("na") * F.col("nb")), 4))
             .filter(F.col("cosine") >= 0.3)
             .select("src", "dst", "cosine"))
 
