@@ -783,6 +783,57 @@ def q_simhash_near_docs(spark, sf_dir):
     return pairs.select(F.col("src"), F.col("dst"), F.col("hamming"))
 
 
+
+def q_pivot_status(spark, sf_dir):
+    """Pivot: order counts + quantity by linestatus columns per returnflag."""
+    li = _read(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.round(F.sum("l_quantity"), 2))
+        .select(F.col("l_returnflag").alias("returnflag"),
+                F.col("O").alias("qty_open"), F.col("F").alias("qty_filled"))
+    )
+
+
+SQL_PIVOT_STATUS = """
+SELECT l_returnflag AS returnflag,
+       round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2) AS qty_open,
+       round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2) AS qty_filled
+FROM lineitem GROUP BY 1
+"""
+
+
+def q_range_join_activity(spark, sf_dir):
+    """Range join (equi-key + time interval): for each purchase, how many
+    clicks the same user made in the preceding hour. Catalyst plans the
+    equi part as a hash/sort-merge join with the range as a residual
+    filter (no cartesian)."""
+    ev = _read(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id"), F.col("user_id"), F.col("ts").alias("pts"))
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id"), F.col("ts").alias("cts"))
+    joined = p.join(
+        c, (p.user_id == c.user_id)
+        & (c.cts <= p.pts)
+        & (c.cts >= p.pts - F.expr("INTERVAL 1 HOUR")), "left")
+    return (joined.groupBy("event_id")
+            .agg(F.count("cts").alias("n_prior_clicks")))
+
+
+SQL_RANGE_JOIN_ACTIVITY = """
+SELECT p.event_id, count(c.cts) AS n_prior_clicks
+FROM (SELECT event_id, user_id, ts AS pts FROM events
+      WHERE event_type = 'purchase') p
+LEFT JOIN (SELECT user_id, ts AS cts FROM events
+           WHERE event_type = 'click') c
+  ON p.user_id = c.user_id
+ AND c.cts <= p.pts AND c.cts >= p.pts - INTERVAL 1 HOUR
+GROUP BY 1
+"""
+
+
 # --------------------------------------------------------------------------
 # catalog
 # --------------------------------------------------------------------------
@@ -814,6 +865,8 @@ QUERIES = {
     "asof_last_view": q_asof_last_view,
     "embedding_neardup_pairs": q_embedding_neardup_pairs,
     "simhash_near_docs": q_simhash_near_docs,
+    "pivot_status": q_pivot_status,
+    "range_join_activity": q_range_join_activity,
 }
 
 ORACLES = {
@@ -839,6 +892,8 @@ ORACLES = {
     "cube_sales": SQL_CUBE_SALES,
     "asof_last_view": SQL_ASOF_LAST_VIEW,
     "embedding_neardup_pairs": SQL_EMBEDDING_NEARDUP_PAIRS,
+    "pivot_status": SQL_PIVOT_STATUS,
+    "range_join_activity": SQL_RANGE_JOIN_ACTIVITY,
     # minhash_lsh_docs, hll_distinct_users, kmv_distinct_tokens:
     # deliberately omitted
     # (murmur3/HLL signatures are not ANSI-SQL-expressible) -> rows-only.
