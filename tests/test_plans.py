@@ -70,3 +70,12 @@ def test_verify_joins_are_hash_joins(spark):
     assert ("SortMergeJoin" in plan or "ShuffledHashJoin" in plan
             or "BroadcastHashJoin" in plan)
     assert "CartesianProduct" not in plan
+
+
+def test_range_join_uses_equi_key(spark):
+    """The range join must plan as an equi-join on user_id with a range
+    residual, never a cartesian/BNL over all pairs."""
+    plan = _plan(spark, "range_join_activity")
+    assert "CartesianProduct" not in plan
+    assert ("SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+            or "BroadcastHashJoin" in plan)
