@@ -161,8 +161,12 @@ class DedupPipeline:
             .filter(F.col("file_id") != F.col("rep"))
             .select(F.col("rep").alias("src"), F.col("file_id").alias("dst"))
         )
+        # rep_sigs feeds four consumers (banding, both verify sides, the
+        # containment index): cache it so the sha groupBy + semi-join run
+        # once, not per branch
         rep_sigs = sigs.join(
-            reps.select(F.col("rep").alias("file_id")), "file_id", "left_semi")
+            reps.select(F.col("rep").alias("file_id")), "file_id",
+            "left_semi").cache()
 
         # stage 3: LSH candidates + verification -----------------------------
         if self._is_done("edges"):

@@ -26,3 +26,17 @@ def test_config_hash_keys_checkpoints(tmp_path, spark, small_corpus):
     a = DedupConfig(jaccard_threshold=0.7)
     b = DedupConfig(jaccard_threshold=0.6)
     assert a.config_hash() != b.config_hash()
+
+
+def test_pipeline_matches_oracle_alt_banding(spark, small_corpus):
+    """Different banding geometry (32 bands x 4 rows) — parity must hold
+    at any valid config, not just the default."""
+    cfg = DedupConfig(num_bands=32, rows_per_band=4, jaccard_threshold=0.6)
+    files = spark.createDataFrame(small_corpus.files.head(100))
+    res = DedupPipeline(spark, cfg, workdir=None,
+                        enable_containment=False).run(files)
+    edges = res.edges.toPandas()
+    p_lsh = set(zip(edges[edges.source == "lsh"].src,
+                    edges[edges.source == "lsh"].dst))
+    oracle = run_oracle(small_corpus.files.head(100), cfg, containment=False)
+    assert p_lsh == oracle.lsh_edges
