@@ -89,6 +89,8 @@ def main() -> int:
     ap.add_argument("--out", default="BENCH")
     ap.add_argument("--min-lines", type=int, default=20)
     ap.add_argument("--max-lines", type=int, default=400)
+    ap.add_argument("--input", default=None,
+                    help="reuse an existing files parquet dir (skip generation)")
     args = ap.parse_args()
 
     import tempfile
@@ -102,20 +104,25 @@ def main() -> int:
           f"{probe}", flush=True)
 
     tmp = tempfile.mkdtemp(prefix="scaling_")
-    input_path = f"{tmp}/files"
-    print(f"generating {args.files} files ...", flush=True)
-    t0 = time.time()
-    corpus = generate_corpus(n_files=args.files, seed=42,
-                             min_lines=args.min_lines, max_lines=args.max_lines)
-    gen_sec = time.time() - t0
-    n_tokens = int(corpus.files["content"].str.count(" ").sum()) + len(corpus.files)
-    print(f"generated in {gen_sec:.0f}s, ~{n_tokens/1e6:.0f}M tokens", flush=True)
+    if args.input:
+        input_path = args.input
+        n_tokens = 0
+    else:
+        input_path = f"{tmp}/files"
+        print(f"generating {args.files} files ...", flush=True)
+        t0 = time.time()
+        corpus = generate_corpus(n_files=args.files, seed=42,
+                                 min_lines=args.min_lines,
+                                 max_lines=args.max_lines)
+        gen_sec = time.time() - t0
+        n_tokens = int(corpus.files["content"].str.count(" ").sum()) + len(corpus.files)
+        print(f"generated in {gen_sec:.0f}s, ~{n_tokens/1e6:.0f}M tokens", flush=True)
 
-    spark = build_session(app_name="scaling-writer", master="local[32]")
-    (spark.createDataFrame(corpus.files).repartition(64)
-     .write.mode("overwrite").parquet(input_path))
-    spark.stop()
-    del corpus
+        spark = build_session(app_name="scaling-writer", master="local[32]")
+        (spark.createDataFrame(corpus.files).repartition(64)
+         .write.mode("overwrite").parquet(input_path))
+        spark.stop()
+        del corpus
 
     results = []
     for cpus in (args.n, 4 * args.n):
