@@ -173,7 +173,9 @@ components), parquet in / parquet out.
 
 **Scaling efficiency (N -> 4N): {eff:.3f}** (target >= 0.8)
 """
-    (outdir / "BASELINE.md").write_text(md)
+    # write to a per-run file; BENCH/BASELINE.md is curated by hand from
+    # these so repeated trials never clobber the analysis
+    (outdir / "BASELINE_latest.md").write_text(md)
     print(md)
     return 0
 
