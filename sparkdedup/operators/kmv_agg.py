@@ -29,12 +29,15 @@ U64 = np.uint64
 
 
 def kmv_distinct_agg(df: DataFrame, group_col: str, value_col: str,
-                     k: int = 256, seed: int = 9001) -> DataFrame:
+                     k: int = 256, seed: int = 9001,
+                     values_are_arrays: bool = False) -> DataFrame:
     """(group, n_distinct_est double, n_retained int, theta_frac double).
 
     Values are hashed with the reference's murmur3-128 h1 >> 1 screening;
     distinct-count estimate follows compact-sketch semantics
-    (num_retained / theta)."""
+    (num_retained / theta). With values_are_arrays=True, value_col holds an
+    ARRAY per row and is flattened in-kernel — pass token arrays instead of
+    pre-exploding so Arrow batches stay fat (one row per document)."""
 
     partial_schema = f"{group_col} string, entries array<long>, theta long"
 
@@ -42,13 +45,23 @@ def kmv_distinct_agg(df: DataFrame, group_col: str, value_col: str,
         for pdf in batches:
             if not len(pdf):
                 continue
-            vals = pdf[value_col].astype(str)
+            if values_are_arrays:
+                lens = pdf[value_col].map(len).to_numpy()
+                flat = np.concatenate([np.asarray(a, dtype=object)
+                                       for a in pdf[value_col]]) \
+                    if lens.sum() else np.empty(0, dtype=object)
+                vals = pd.Series(flat, dtype=object).astype(str)
+                groups_all = np.repeat(
+                    pdf[group_col].astype(str).to_numpy(), lens)
+            else:
+                vals = pdf[value_col].astype(str)
+                groups_all = pdf[group_col].astype(str).to_numpy()
             codes, uniques = pd.factorize(vals)
             h1, _ = murmur3_128_bytes(
                 [u.encode("utf-8") for u in uniques], seed)
             h = (h1 >> U64(1))
             hashes = h[codes]
-            groups = pdf[group_col].astype(str).to_numpy()
+            groups = groups_all
             out_g, out_e, out_t = [], [], []
             for g in pd.unique(groups):
                 gh = hashes[groups == g]

@@ -658,8 +658,9 @@ def q_kmv_distinct_tokens(spark, sf_dir):
 
     docs = _read(spark, sf_dir, "documents")
     toks = docs.select(
-        "source", F.explode(F.split(F.trim("text"), r"\s+")).alias("token"))
-    return kmv_distinct_agg(toks, "source", "token", k=256)
+        "source", F.split(F.trim("text"), r"\s+").alias("token"))
+    return kmv_distinct_agg(toks, "source", "token", k=256,
+                            values_are_arrays=True)
 
 
 
