@@ -45,9 +45,24 @@ def main() -> int:
         n = df.count()
         timings[name] = round(time.time() - t0, 3)
 
-    # end-to-end dedup pipeline throughput on the synthetic file corpus
+    # end-to-end dedup pipeline throughput on the synthetic file corpus.
+    # Stage the corpus through parquet instead of createDataFrame: local
+    # collections are embedded in every task binary ("task of very large
+    # size" warning) and a single in-memory relation has no scan splits.
+    import shutil
+    import tempfile
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
     corpus = generate_corpus(n_files=n_files, seed=42)
-    files = spark.createDataFrame(corpus.files).repartition(cpus).cache()
+    stage_dir = tempfile.mkdtemp(prefix="sparkdedup_bench_corpus_")
+    pdf = pd.DataFrame(corpus.files)
+    chunk = max(1, -(-len(pdf) // cpus))
+    for i in range(0, len(pdf), chunk):
+        pq.write_table(pa.Table.from_pandas(pdf.iloc[i:i + chunk]),
+                       f"{stage_dir}/part-{i // chunk:05d}.parquet")
+    files = spark.read.parquet(stage_dir).cache()
     files.count()
     t0 = time.time()
     pipe = DedupPipeline(spark, DedupConfig(), workdir=None,
@@ -64,6 +79,7 @@ def main() -> int:
     }
 
     total = round(time.time() - t_all, 3)
+    shutil.rmtree(stage_dir, ignore_errors=True)
     print(json.dumps({
         "metric": "total_wall_sec",
         "value": total,

@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from sparkdedup.functions.murmur3 import murmur3_128_bytes
-from sparkdedup.functions.theta import MAX_THETA, KmvSketch, kmv_from_hashes, kmv_union
+from sparkdedup.functions.theta import MAX_THETA, KmvSketch
 
 U64 = np.uint64
 
@@ -61,15 +61,37 @@ def kmv_distinct_agg(df: DataFrame, group_col: str, value_col: str,
                 [u.encode("utf-8") for u in uniques], seed)
             h = (h1 >> U64(1))
             hashes = h[codes]
-            groups = groups_all
+            # argsort-segment by factorized group code: O(n log n) total,
+            # no per-group boolean-mask rescans (same pattern as
+            # signatures.py's lexsort/bincount kernel).
+            gcodes, guniq = pd.factorize(groups_all)
+            keep = hashes != U64(0)
+            hashes, gcodes = hashes[keep], gcodes[keep]
+            order = np.lexsort((hashes, gcodes))
+            gs, hs = gcodes[order], hashes[order]
+            starts = np.flatnonzero(np.r_[True, gs[1:] != gs[:-1]]) \
+                if len(gs) else np.empty(0, np.int64)
+            ends = np.r_[starts[1:], len(gs)] if len(starts) else starts
             out_g, out_e, out_t = [], [], []
-            for g in pd.unique(groups):
-                gh = hashes[groups == g]
-                gh = gh[gh != U64(0)]
-                sk = kmv_from_hashes(gh, k)
-                out_g.append(g)
-                out_e.append(sk.entries.astype(np.int64).tolist())
-                out_t.append(sk.theta)
+            for s, e in zip(starts, ends):
+                gh = hs[s:e]
+                gh = gh[np.r_[True, gh[1:] != gh[:-1]]]  # sorted -> distinct
+                if len(gh) > k:
+                    theta = int(gh[k])
+                    gh = gh[:k]
+                else:
+                    theta = MAX_THETA
+                out_g.append(guniq[gs[s]])
+                out_e.append(gh.astype(np.int64).tolist())
+                out_t.append(theta)
+            # groups whose every hash screened to 0 (astronomically rare)
+            # still need an empty partial so the group appears downstream
+            seen = {gs[s] for s in starts}
+            for gi in range(len(guniq)):
+                if gi not in seen:
+                    out_g.append(guniq[gi])
+                    out_e.append([])
+                    out_t.append(MAX_THETA)
             yield pd.DataFrame({group_col: out_g, "entries": out_e,
                                 "theta": out_t})
 
@@ -80,12 +102,18 @@ def kmv_distinct_agg(df: DataFrame, group_col: str, value_col: str,
                      "n_retained int, theta_frac double")
 
     def union_phase(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        merged = KmvSketch(np.empty(0, U64), MAX_THETA)
-        for _, row in pdf.iterrows():
-            part = KmvSketch(
-                np.asarray(row["entries"], dtype=np.int64).view(U64).copy(),
-                int(row["theta"]))
-            merged = kmv_union(merged, part, k)
+        # multiway union in one pass (order-independent, same result as
+        # pairwise kmv_union folds): theta' = min, keep < theta', k-trim
+        theta = int(pdf["theta"].min()) if len(pdf) else MAX_THETA
+        all_h = (np.concatenate(
+            [np.asarray(e, dtype=np.int64) for e in pdf["entries"]])
+            .view(U64) if len(pdf) else np.empty(0, U64))
+        all_h = np.unique(all_h)
+        all_h = all_h[all_h < U64(theta)]
+        if len(all_h) > k:
+            theta = int(all_h[k])
+            all_h = all_h[:k]
+        merged = KmvSketch(all_h, theta)
         return pd.DataFrame({
             group_col: [key[0]],
             "n_distinct_est": [merged.estimate()],

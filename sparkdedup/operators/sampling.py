@@ -14,12 +14,15 @@ from pyspark.sql import functions as F
 
 
 def reservoir_sample(df: DataFrame, k: int, group_cols: list[str] | None = None,
-                     seed: int = 9001) -> DataFrame:
+                     seed: int = 9001, key: Column | None = None) -> DataFrame:
     """Exact-k uniform sample (per group if group_cols given), deterministic.
 
     Uses xxhash64 of the full row + seed as the uniform key (rand() is not
-    reproducible across retries; a hash of row content is)."""
-    key = F.xxhash64(*[F.col(c) for c in df.columns], F.lit(seed))
+    reproducible across retries; a hash of row content is). Pass `key` to
+    override the rank key — e.g. md5 of a unique id for an oracle that must
+    reproduce the sample in another engine."""
+    if key is None:
+        key = F.xxhash64(*[F.col(c) for c in df.columns], F.lit(seed))
     if group_cols:
         w = Window.partitionBy(*group_cols).orderBy(key)
     else:

@@ -54,10 +54,14 @@ def hyperplane_buckets(emb: DataFrame, dim: int, n_tables: int = 8,
 
 def ann_lsh_topk(emb: DataFrame, k: int = 5, n_tables: int = 8,
                  n_bits: int = 10, seed: int = 9001,
-                 round_to: int = 4) -> DataFrame:
+                 round_to: int = 4, dim: int | None = None) -> DataFrame:
     """Approximate top-k cosine neighbors for every vector via bucketed
-    candidate generation + exact rerank. Returns (qid, nid, cosine, rank)."""
-    dim = len(emb.select("embedding").first()[0])
+    candidate generation + exact rerank. Returns (qid, nid, cosine, rank).
+
+    Pass `dim` to avoid the schema-probe job (a driver-side .first() would
+    trigger a scan before the real plan)."""
+    if dim is None:
+        dim = len(emb.select("embedding").first()[0])
     buckets = hyperplane_buckets(emb, dim, n_tables, n_bits, seed)
     a = buckets.select("table", "bucket", F.col("vid").alias("qid"))
     b = buckets.select("table", "bucket", F.col("vid").alias("nid"))
@@ -81,6 +85,64 @@ def ann_lsh_topk(emb: DataFrame, k: int = 5, n_tables: int = 8,
             .filter(F.col("rank") <= k)
             .select("qid", "nid", "cosine",
                     F.col("rank").cast("long").alias("rank")))
+
+
+def cosine_pairs_blocked(emb: DataFrame, threshold: float,
+                         n_blocks: int, round_to: int = 4,
+                         id_col: str = "vec_id",
+                         vec_col: str = "embedding") -> DataFrame:
+    """All pairs (src < dst) with cosine >= threshold via blocked GEMM.
+
+    An all-pairs similarity at a *moderate* threshold is inherently
+    O(N^2) compute (ambient pairs pass the cut, so even the OUTPUT can be
+    quadratic) — the scalable formulation is the one BLAS executes well:
+    partition vectors into blocks, enumerate the upper-triangular block
+    grid, and compute each tile as one float64 matrix multiply inside an
+    Arrow batch. Per-element expression trees (zip_with + aggregate) pay
+    interpreter overhead per pair; a GEMM tile is ~100x faster at the
+    same exactness. For high thresholds use the sub-quadratic LSH path
+    (ann_lsh_topk / the MinHash pipeline) instead.
+
+    n_blocks: number of row blocks (grid has n_blocks*(n_blocks+1)/2
+    tiles — size it so a tile's two blocks fit executor memory)."""
+    blk = (emb.select(
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).alias("blk"),
+        F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"))
+        .groupBy("blk")
+        .agg(F.collect_list(F.struct("vid", "vec")).alias("rows")))
+    a = blk.select(F.col("blk").alias("blk_a"), F.col("rows").alias("rows_a"))
+    b = blk.select(F.col("blk").alias("blk_b"), F.col("rows").alias("rows_b"))
+    tiles = a.join(b, F.col("blk_a") <= F.col("blk_b"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for blk_a, blk_b, rows_a, rows_b in zip(
+                    pdf["blk_a"], pdf["blk_b"], pdf["rows_a"], pdf["rows_b"]):
+                ia = np.asarray([r["vid"] for r in rows_a], dtype=np.int64)
+                ib = np.asarray([r["vid"] for r in rows_b], dtype=np.int64)
+                xa = np.stack([r["vec"] for r in rows_a]).astype(np.float64)
+                xb = np.stack([r["vec"] for r in rows_b]).astype(np.float64)
+                na = np.sqrt((xa * xa).sum(axis=1))
+                nb = np.sqrt((xb * xb).sum(axis=1))
+                cos = (xa @ xb.T) / np.outer(na, nb)
+                cos = np.round(cos, round_to)
+                mask = cos >= threshold
+                if blk_a == blk_b:
+                    # diagonal tile: dedupe within the tile by id order
+                    mask &= ia[:, None] < ib[None, :]
+                else:
+                    # off-diagonal tile: every cross pair appears exactly
+                    # once (tile grid is upper-triangular in BLOCK ids, but
+                    # vector ids are hash-scattered) — canonicalize below
+                    mask &= ia[:, None] != ib[None, :]
+                r, c = np.nonzero(mask)
+                src, dst = ia[r], ib[c]
+                lo, hi = np.minimum(src, dst), np.maximum(src, dst)
+                yield pd.DataFrame({"src": lo, "dst": hi,
+                                    "cosine": cos[r, c]})
+
+    return tiles.mapInPandas(
+        run, schema="src long, dst long, cosine double")
 
 
 def ann_brute_topk(emb: DataFrame, queries: DataFrame, k: int = 5,

@@ -99,14 +99,20 @@ def tuple_sketch_agg(df: DataFrame, group_col: str, key_col: str,
         for pdf in batches:
             if not len(pdf):
                 continue
-            groups = pdf[group_col].astype(str).to_numpy()
             payload = pdf[payload_col].astype(float).to_numpy()
+            # argsort-segment by factorized group code (no per-group masks)
+            gcodes, guniq = pd.factorize(pdf[group_col].astype(str))
+            order = np.argsort(gcodes, kind="stable")
+            gs = gcodes[order]
+            keys_sorted = pdf[key_col].iloc[order]
+            payload_sorted = payload[order]
+            starts = np.flatnonzero(np.r_[True, gs[1:] != gs[:-1]])
+            ends = np.r_[starts[1:], len(gs)]
             out = []
-            for g in pd.unique(groups):
-                m = groups == g
+            for s, e in zip(starts, ends):
                 hu, sums, theta = _partial_tuple(
-                    pdf[key_col][m], payload[m], k, seed)
-                out.append((g, hu.astype(np.int64).tolist(),
+                    keys_sorted.iloc[s:e], payload_sorted[s:e], k, seed)
+                out.append((guniq[gs[s]], hu.astype(np.int64).tolist(),
                             sums.tolist(), theta))
             yield pd.DataFrame(out, columns=[group_col, "entries",
                                              "payloads", "theta"])
@@ -118,9 +124,10 @@ def tuple_sketch_agg(df: DataFrame, group_col: str, key_col: str,
                   "payload_total_est double, n_retained int")
 
     def union(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        parts = [(np.asarray(r["entries"], np.int64).view(U64),
-                  np.asarray(r["payloads"], np.float64),
-                  int(r["theta"])) for _, r in pdf.iterrows()]
+        parts = [(np.asarray(e, np.int64).view(U64),
+                  np.asarray(p, np.float64), int(t))
+                 for e, p, t in zip(pdf["entries"], pdf["payloads"],
+                                    pdf["theta"])]
         uh, uv, theta = _merge_tuple(parts, k, policy)
         f = theta / float(MAX_THETA)
         return pd.DataFrame({

