@@ -183,6 +183,53 @@ def murmur3_128_bytes(data: list[bytes], seed: int) -> tuple[np.ndarray, np.ndar
     return h1_out, h2_out
 
 
+def murmur3_128_bytes_segmented(flat: np.ndarray, starts: np.ndarray,
+                                lengths: np.ndarray,
+                                seed: int) -> tuple[np.ndarray, np.ndarray]:
+    """murmur3-128 of `len(starts)` byte slices of a flat uint8 buffer —
+    identical results to murmur3_128_bytes on the materialized slices, but
+    with zero Python string/bytes objects (the hot path for tokenizers).
+
+    Buckets by block count like murmur3_128_bytes; each bucket builds its
+    zero-padded word matrix by a single fancy-index gather from `flat`.
+    """
+    n = len(starts)
+    h1_out = np.empty(n, dtype=U64)
+    h2_out = np.empty(n, dtype=U64)
+    if n == 0:
+        return h1_out, h2_out
+    starts = starts.astype(np.int64, copy=False)
+    lengths = lengths.astype(np.int64, copy=False)
+    nblocks = lengths >> 4
+    order = np.argsort(nblocks, kind="stable")
+    sorted_nb = nblocks[order]
+    boundaries = np.flatnonzero(np.diff(sorted_nb)) + 1
+    for group in np.split(order, boundaries):
+        nb = int(nblocks[group[0]])
+        g_starts, g_lens = starts[group], lengths[group]
+        width = (nb + 1) * 16
+        m = len(group)
+        buf = np.zeros((m, width), dtype=np.uint8)
+        total = int(g_lens.sum())
+        if total:
+            rows = np.repeat(np.arange(m, dtype=np.int64), g_lens)
+            within = (np.arange(total, dtype=np.int64)
+                      - np.repeat(np.cumsum(g_lens) - g_lens, g_lens))
+            src = g_starts[rows] + within
+            buf[rows, within] = flat[src]
+        u = buf.view("<u8")
+        with np.errstate(over="ignore"):
+            h1 = np.full(m, U64(seed), dtype=U64)
+            h2 = h1.copy()
+            for i in range(nb):
+                h1, h2 = _block_mix(h1, h2, u[:, 2 * i], u[:, 2 * i + 1])
+            g1, g2 = _final_mix(h1, h2, u[:, 2 * nb], u[:, 2 * nb + 1],
+                                g_lens.astype(U64))
+        h1_out[group] = g1
+        h2_out[group] = g2
+    return h1_out, h2_out
+
+
 def murmur3_128_scalar(data: bytes, seed: int) -> tuple[int, int]:
     """Pure-python scalar reference (independent of the numpy path) used by
     tests to cross-check the vectorized kernel. Same byte-array layout as

