@@ -1,22 +1,33 @@
-"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+"""Multimodal columns: opaque binary payloads + typed metadata, decoded
+and feature-extracted inside Arrow batches.
 
-The image/audio decode libraries are not in this container, so the decode
-kernels are deterministic fakes behind `_decode_stub` (clearly marked); the
-Spark-side plumbing — binary columns, schema, mapInPandas batch shape,
-partitioning — is real and tested. Swapping `_decode_stub` for a real
-decoder (PIL/librosa/ffmpeg) changes no Spark code.
+Decode is REAL for BMP / WAV / PNG (pure numpy + stdlib zlib —
+sparkdedup/functions/media_codecs.py): container parse -> pixel/sample
+array -> resize (block-mean thumbnail) / frame-sample (framed energies).
+Entropy-coded formats (JPEG, MP4, ...) genuinely need external decoder
+libraries that this environment lacks, so they route to the documented
+deterministic stub — swapping it for PIL/ffmpeg changes no Spark code.
+
+Scale shape: payloads travel once through a mapInPandas pass (Arrow
+binary transfer, no shuffle of payload bytes); everything after the
+feature extraction is skinny columns.
 """
 
 from __future__ import annotations
 
-from collections.abc import Iterator
-
 import hashlib
+import struct
+import zlib
+from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from sparkdedup.functions.media_codecs import (audio_features, decode_bmp,
+                                               decode_png, decode_wav,
+                                               image_features)
 
 MEDIA_SCHEMA = (
     "media_id long, kind string, payload binary, declared_format string"
@@ -24,12 +35,13 @@ MEDIA_SCHEMA = (
 
 FEATURE_SCHEMA = (
     "media_id long, kind string, n_bytes long, sniffed_format string, "
-    "content_hash string, feature array<float>"
+    "content_hash string, codec string, width int, height int, "
+    "sample_rate int, duration double, feature array<float>"
 )
 
 _MAGIC = {
     b"\x89PNG": "png", b"\xff\xd8\xff": "jpeg", b"GIF8": "gif",
-    b"RIFF": "riff/wav", b"ID3": "mp3", b"OggS": "ogg",
+    b"BM": "bmp", b"RIFF": "riff/wav", b"ID3": "mp3", b"OggS": "ogg",
     b"\x00\x00\x00\x18": "mp4", b"\x1aE\xdf\xa3": "webm",
 }
 
@@ -42,21 +54,46 @@ def sniff_format(payload: bytes) -> str:
 
 
 def _decode_stub(payload: bytes, kind: str, dim: int = 16) -> np.ndarray:
-    """STUB decoder: deterministic pseudo-features from payload bytes.
-
-    Stands in for decode->resize->embed (image) / decode->frame-sample
-    (video) / decode->spectrogram (audio). Replace with a real decoder in
-    production; raises nothing so the pipeline shape is exercised fully.
-    """
+    """STUB decoder for formats needing external libraries (JPEG/MP4/...):
+    deterministic pseudo-features from payload bytes so the pipeline shape
+    is exercised fully. Replace with PIL/ffmpeg in production."""
     digest = hashlib.sha256(payload).digest()
     raw = np.frombuffer((digest * ((dim * 4) // len(digest) + 1))[: dim * 4],
                         dtype=np.uint32)
     return (raw % 1000).astype(np.float32) / 1000.0
 
 
+def _decode_one(payload: bytes, kind: str, fmt: str, dim: int):
+    """-> (codec, width, height, sample_rate, duration, feature[dim])."""
+    try:
+        if fmt == "bmp":
+            px = decode_bmp(payload)
+            f = image_features(px)
+            return ("bmp", px.shape[1], px.shape[0], 0, 0.0, f)
+        if fmt == "png":
+            px = decode_png(payload)
+            f = image_features(px)
+            return ("png", px.shape[1], px.shape[0], 0, 0.0, f)
+        if fmt == "riff/wav":
+            samples, rate = decode_wav(payload)
+            f = audio_features(samples, rate)
+            return ("wav", 0, 0, rate, len(samples) / rate if rate else 0.0, f)
+    except (ValueError, struct.error, zlib.error, IndexError):
+        # corrupt/truncated payload claiming a decodable magic: never fail
+        # the batch — tag it and fall through to the deterministic stub
+        return ("corrupt", 0, 0, 0, 0.0, _decode_stub(payload, kind, dim))
+    return ("stub", 0, 0, 0, 0.0, _decode_stub(payload, kind, dim))
+
+
+def _fit(vec: np.ndarray, dim: int) -> np.ndarray:
+    out = np.zeros(dim, dtype=np.float32)
+    out[: min(dim, len(vec))] = vec[:dim]
+    return out
+
+
 def extract_media_features(media: DataFrame, dim: int = 16) -> DataFrame:
-    """binary payloads -> metadata + feature vectors (one mapInPandas pass,
-    Arrow binary transfer; payload never crosses a shuffle)."""
+    """binary payloads -> metadata + fixed-dim feature vectors (one
+    mapInPandas pass; payload bytes never cross a shuffle)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -64,14 +101,22 @@ def extract_media_features(media: DataFrame, dim: int = 16) -> DataFrame:
                 continue
             payloads = [bytes(p) if p is not None else b""
                         for p in pdf["payload"]]
+            fmts = [sniff_format(p) for p in payloads]
+            decoded = [_decode_one(p, k, f, dim)
+                       for p, k, f in zip(payloads, pdf["kind"], fmts)]
             yield pd.DataFrame({
                 "media_id": pdf["media_id"].to_numpy(),
                 "kind": pdf["kind"].to_numpy(),
                 "n_bytes": [len(p) for p in payloads],
-                "sniffed_format": [sniff_format(p) for p in payloads],
-                "content_hash": [hashlib.sha256(p).hexdigest() for p in payloads],
-                "feature": [_decode_stub(p, k, dim)
-                            for p, k in zip(payloads, pdf["kind"])],
+                "sniffed_format": fmts,
+                "content_hash": [hashlib.sha256(p).hexdigest()
+                                 for p in payloads],
+                "codec": [d[0] for d in decoded],
+                "width": np.array([d[1] for d in decoded], np.int32),
+                "height": np.array([d[2] for d in decoded], np.int32),
+                "sample_rate": np.array([d[3] for d in decoded], np.int32),
+                "duration": np.array([d[4] for d in decoded], np.float64),
+                "feature": [_fit(d[5], dim) for d in decoded],
             })
 
     return media.mapInPandas(run, schema=FEATURE_SCHEMA)

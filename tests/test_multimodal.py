@@ -1,37 +1,86 @@
-"""Multimodal plumbing: binary columns through mapInPandas, format sniff,
-exact payload dedup. Decode itself is a documented deterministic stub."""
+"""Multimodal columns: REAL decode for BMP/WAV/PNG (pure numpy + zlib),
+stub fallback for entropy-coded formats, format sniff, exact payload
+dedup — all through the Spark mapInPandas surface."""
 
+import numpy as np
 import pytest
 from pyspark.sql import functions as F
+
+from sparkdedup.functions.media_codecs import (decode_bmp, decode_png,
+                                               decode_wav, encode_bmp,
+                                               encode_png, encode_wav)
+
+
+def _fixture_payloads():
+    rng = np.random.default_rng(42)
+    img = rng.integers(0, 256, (8, 6, 3), dtype=np.uint8)
+    samples = (np.sin(np.linspace(0, 60, 1600)) * 12000).astype(np.int16)
+    return {
+        "bmp": encode_bmp(img),
+        "png": encode_png(img),
+        "wav": encode_wav(samples, 16000),
+        "img": img,
+        "samples": samples,
+    }
 
 
 @pytest.fixture(scope="module")
 def media(spark):
+    p = _fixture_payloads()
     rows = [
-        (1, "image", bytearray(b"\x89PNG\r\n" + b"x" * 100), "png"),
+        (1, "image", bytearray(p["png"]), "png"),
         (2, "image", bytearray(b"\xff\xd8\xff\xe0" + b"y" * 80), "jpeg"),
-        (3, "audio", bytearray(b"RIFF" + b"z" * 50), "wav"),
+        (3, "audio", bytearray(p["wav"]), "wav"),
         (4, "video", bytearray(b"\x1aE\xdf\xa3" + b"w" * 60), "webm"),
-        (5, "image", bytearray(b"\x89PNG\r\n" + b"x" * 100), "png"),  # dup of 1
+        (5, "image", bytearray(p["png"]), "png"),  # dup of 1
         (6, "image", bytearray(b"???" + b"q" * 10), "unknown"),
+        (7, "image", bytearray(p["bmp"]), "bmp"),
+        (8, "image", bytearray(b"\x89PNG" + b"\x00" * 20), "png"),  # corrupt
     ]
     return spark.createDataFrame(
         rows, "media_id long, kind string, payload binary, declared_format string")
 
 
-def test_feature_extraction_schema_and_sniff(spark, media):
+def test_codec_roundtrips():
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, (5, 7, 3), dtype=np.uint8)
+    assert np.array_equal(decode_bmp(encode_bmp(img)), img)
+    assert np.array_equal(decode_png(encode_png(img)), img)
+    rgba = rng.integers(0, 256, (4, 4, 4), dtype=np.uint8)
+    assert np.array_equal(decode_png(encode_png(rgba)), rgba)
+    s = rng.integers(-32768, 32768, 999).astype(np.int16)
+    got, rate = decode_wav(encode_wav(s, 8000))
+    assert rate == 8000 and np.array_equal(got, s)
+
+
+def test_feature_extraction_real_decode(spark, media):
     from sparkdedup.operators.multimodal import extract_media_features
 
-    feats = extract_media_features(media, dim=16).toPandas()
-    assert len(feats) == 6
+    p = _fixture_payloads()
+    feats = extract_media_features(media, dim=17).toPandas()
+    assert len(feats) == 8
     by_id = feats.set_index("media_id")
-    assert by_id.loc[1, "sniffed_format"] == "png"
-    assert by_id.loc[2, "sniffed_format"] == "jpeg"
-    assert by_id.loc[3, "sniffed_format"] == "riff/wav"
-    assert by_id.loc[4, "sniffed_format"] == "webm"
+    # real decodes report the actual container geometry
+    assert by_id.loc[1, "codec"] == "png"
+    assert (by_id.loc[1, "width"], by_id.loc[1, "height"]) == (6, 8)
+    assert by_id.loc[7, "codec"] == "bmp"
+    assert (by_id.loc[7, "width"], by_id.loc[7, "height"]) == (6, 8)
+    assert by_id.loc[3, "codec"] == "wav"
+    assert by_id.loc[3, "sample_rate"] == 16000
+    assert abs(by_id.loc[3, "duration"] - 0.1) < 1e-9
+    # PNG and BMP of the SAME pixels -> identical features (decode is real)
+    assert list(by_id.loc[1, "feature"]) == pytest.approx(
+        list(by_id.loc[7, "feature"]))
+    # image features embed true mean brightness
+    want_mean_r = float(p["img"][:, :, 0].mean() / 255.0)
+    assert by_id.loc[1, "feature"][2] == pytest.approx(want_mean_r, abs=1e-5)
+    # entropy-coded formats fall back to the documented stub
+    assert by_id.loc[2, "codec"] == "stub"
+    assert by_id.loc[4, "codec"] == "stub"
     assert by_id.loc[6, "sniffed_format"] == "unknown"
-    assert all(len(f) == 16 for f in feats["feature"])
-    # deterministic features; identical payloads -> identical features
+    # corrupt payload with a decodable magic is tagged, not fatal
+    assert by_id.loc[8, "codec"] == "corrupt"
+    # deterministic: identical payloads -> identical features
     assert list(by_id.loc[1, "feature"]) == list(by_id.loc[5, "feature"])
 
 
@@ -41,6 +90,6 @@ def test_exact_media_dedup(spark, media):
 
     feats = extract_media_features(media)
     groups = exact_media_dedup(feats).toPandas()
-    assert len(groups) == 5  # 1 and 5 collapse
+    assert len(groups) == 7  # 1 and 5 collapse
     dup = groups[groups.n_copies == 2]
     assert len(dup) == 1 and dup.iloc[0]["rep_media_id"] == 1

@@ -118,10 +118,16 @@ def main() -> int:
         n_tokens = int(corpus.files["content"].str.count(" ").sum()) + len(corpus.files)
         print(f"generated in {gen_sec:.0f}s, ~{n_tokens/1e6:.0f}M tokens", flush=True)
 
-        spark = build_session(app_name="scaling-writer", master="local[32]")
-        (spark.createDataFrame(corpus.files).repartition(64)
-         .write.mode("overwrite").parquet(input_path))
-        spark.stop()
+        # stage via pyarrow: local collections embedded in Spark tasks trip
+        # the large-task warning and add a pointless Spark job
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        os.makedirs(input_path, exist_ok=True)
+        chunk = max(1, -(-len(corpus.files) // 64))
+        for i in range(0, len(corpus.files), chunk):
+            pq.write_table(
+                pa.Table.from_pandas(corpus.files.iloc[i:i + chunk]),
+                f"{input_path}/part-{i // chunk:05d}.parquet")
         del corpus
 
     results = []
