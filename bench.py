@@ -25,7 +25,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    n_files = int(os.environ.get("SPARK_GRAFT_BENCH_FILES", "2000"))
+    # 4000 files: large enough that fixed per-stage latency (~5s) is a
+    # small share of the measured window at local[32] on this time-sliced
+    # box; files/s stays comparable across corpus sizes
+    n_files = int(os.environ.get("SPARK_GRAFT_BENCH_FILES", "4000"))
 
     from sparkdedup.config import DedupConfig
     from sparkdedup.fixtures import generate_corpus
@@ -64,6 +67,11 @@ def main() -> int:
                        f"{stage_dir}/part-{i // chunk:05d}.parquet")
     files = spark.read.parquet(stage_dir).cache()
     files.count()
+    # warmup: python-worker spawn + JIT on a tiny slice, excluded from the
+    # measured window (same protocol as tools/scaling_bench.py) — at
+    # local[32] cold worker spawn alone is seconds of fixed overhead
+    from sparkdedup.operators.signatures import signature_stage
+    signature_stage(files.limit(64), DedupConfig()).count()
     t0 = time.time()
     pipe = DedupPipeline(spark, DedupConfig(), workdir=None,
                          num_partitions=cpus)
@@ -76,6 +84,9 @@ def main() -> int:
         "files_per_sec": round(n_files / pipe_sec, 2),
         "n_cluster_rows": n_clusters,
         "cpus": cpus,
+        "stages": {k: v.get("seconds")
+                   for k, v in res.metrics["stages"].items()},
+        "cc_seconds": res.metrics.get("cc_seconds"),
     }
 
     total = round(time.time() - t_all, 3)

@@ -40,6 +40,7 @@ def connected_components(
     labels = nodes.select(F.col("file_id"), F.col("file_id").alias("label"))
     if checkpoint:
         labels = labels.localCheckpoint()
+    prev_sum = None  # lazily computed on first convergence check
 
     for it in range(1, cfg.max_cc_iters + 1):
         # neighbor-min: smallest label among self + neighbors.
@@ -74,12 +75,19 @@ def connected_components(
         )
         if checkpoint:
             jump = jump.localCheckpoint()
-        changed = (
-            jump.alias("n").join(labels.alias("o"), "file_id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1).count()
-        )
+        # convergence: per-node labels are monotonically non-increasing
+        # (every step takes least(...)), so the label-sum strictly
+        # decreases until the fixpoint — one narrow aggregate per round
+        # instead of a self-join compare
+        if prev_sum is None:
+            prev_sum = labels.agg(
+                F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
+            ).first()["s"]
+        new_sum = jump.agg(
+            F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
+        ).first()["s"]
         labels = jump
-        if changed == 0:
+        if new_sum == prev_sum:
             return labels.withColumnRenamed("label", "cluster_id"), it
+        prev_sum = new_sum
     return labels.withColumnRenamed("label", "cluster_id"), cfg.max_cc_iters

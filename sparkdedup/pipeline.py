@@ -224,7 +224,9 @@ class DedupPipeline:
             # clusters only if cluster_contained is set (default: they do)
             nodes = sigs.select("file_id")
             cluster_edges = edges.select("src", "dst")
+            t_cc = time.time()
             clusters, iters = connected_components(cluster_edges, nodes, cfg)
+            self.metrics["cc_seconds"] = round(time.time() - t_cc, 3)
             clusters = self._checkpoint(clusters, "clusters")
             self.metrics["cc_iterations"] = iters
 
