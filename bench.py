@@ -40,6 +40,13 @@ def main() -> int:
         app_name="sparkdedup-bench", master=f"local[{cpus}]",
         shuffle_partitions=cpus)
 
+    # session warmup excluded from per-query timings: a scan (codegen JIT)
+    # and a tiny mapInPandas (spawns the python worker pool — seconds of
+    # one-time cost at local[32] that otherwise lands on the first query)
+    warm = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(64)
+    warm.selectExpr("md5(text) h").count()
+    warm.mapInPandas(lambda it: it, schema=warm.schema).count()
+
     t_all = time.time()
     timings: dict[str, float] = {}
     for name, fn in QUERIES.items():

@@ -65,8 +65,11 @@ def q_dedup_clusters_docs(spark, sf_dir):
     edges = (docs.join(reps, "h")
              .filter(F.col("file_id") != F.col("rep"))
              .select(F.col("rep").alias("src"), F.col("file_id").alias("dst")))
+    # checkpoint=True: each CC round localCheckpoints, otherwise iteration
+    # i's plan re-executes iterations 1..i-1 (lineage grows quadratically —
+    # measured 9.6s -> 2.4s at sf0.1)
     clusters, _ = connected_components(
-        edges, docs.select("file_id"), DedupConfig(), checkpoint=False)
+        edges, docs.select("file_id"), DedupConfig(), checkpoint=True)
     return clusters.select(F.col("file_id").alias("doc_id"),
                            F.col("cluster_id"))
 
@@ -121,14 +124,19 @@ def q_ngram_jaccard_pairs(spark, sf_dir):
     intersection, keeping the join bounded at O(cap^2) per gram while the
     jaccard stays self-consistent ("similarity over distinctive grams").
     At the oracle scale the cap is dormant (max df 25 << 64, asserted in
-    tests), so the result equals the exact uncapped jaccard. The join key
-    is xxhash64(gram) — longs shuffle ~3x cheaper than 20-char grams."""
+    tests), so the result equals the exact uncapped jaccard. Grams are
+    never materialized as strings: each 3-word window is hashed directly
+    (xxhash64 over the sliced word array) — longs shuffle ~3x cheaper than
+    20-char grams and the concat never happens."""
     posting_cap = 64
     docs = _read(spark, sf_dir, "documents")
-    grams = _word_grams(docs, 3)
-    inv = (grams.select("doc_id", F.explode("g").alias("gram"))
-           .select("doc_id", F.xxhash64("gram").alias("gh"))
-           .cache())
+    w = F.split(F.trim("text"), r"\s+")
+    grams_h = docs.filter(F.size(w) >= 3).select(
+        "doc_id",
+        F.array_distinct(F.transform(
+            F.sequence(F.lit(1), F.size(w) - 2),
+            lambda i: F.xxhash64(F.slice(w, i, 3)))).alias("g"))
+    inv = grams_h.select("doc_id", F.explode("g").alias("gh")).cache()
     df_counts = inv.groupBy("gh").agg(F.count("*").alias("df"))
     cold = inv.join(df_counts.filter(F.col("df") <= posting_cap), "gh")
     sizes = cold.groupBy("doc_id").agg(F.count("*").alias("n"))
