@@ -54,6 +54,49 @@ def _partial_tuple(keys: pd.Series, payload: np.ndarray, k: int, seed: int):
     return hu, sums, theta
 
 
+def _update_batch(groups: pd.Series, keys: pd.Series, payload: np.ndarray,
+                  k: int, seed: int):
+    """Partial tuple sketches for EVERY group in one batch, fully
+    vectorized: one factorize + one murmur pass over the whole batch, one
+    lexsort by (group, hash), run-length payload reduction — per-group
+    work is pure slicing (no per-group pandas/hashing; the round-1 version
+    was O(groups x per-call overhead)).
+
+    Yields (group_value, entries int64 list, payload list, theta)."""
+    kcodes, kuniq = pd.factorize(keys.astype(str))
+    h1, _ = murmur3_128_bytes([u.encode("utf-8") for u in kuniq], seed)
+    hu_all = (h1 >> U64(1))[kcodes]
+    gcodes, guniq = pd.factorize(groups.astype(str))
+    keep = hu_all != U64(0)
+    h, g, p = hu_all[keep], gcodes[keep], payload[keep]
+    order = np.lexsort((h, g))
+    hs, gs, ps = h[order], g[order], p[order]
+    # payload sum per (group, hash) run — the in-batch update aggregation
+    new_run = np.r_[True, (gs[1:] != gs[:-1]) | (hs[1:] != hs[:-1])] \
+        if len(gs) else np.empty(0, bool)
+    run_starts = np.flatnonzero(new_run)
+    sums = np.add.reduceat(ps, run_starts) if len(run_starts) else \
+        np.empty(0, np.float64)
+    uh, ug = hs[run_starts], gs[run_starts]
+    g_starts = np.flatnonzero(np.r_[True, ug[1:] != ug[:-1]]) \
+        if len(ug) else np.empty(0, np.int64)
+    g_ends = np.r_[g_starts[1:], len(ug)] if len(g_starts) else g_starts
+    seen = set()
+    for s, e in zip(g_starts, g_ends):
+        hh, vv = uh[s:e], sums[s:e]  # hash-sorted within the group
+        if len(hh) > k:
+            theta = int(hh[k])
+            hh, vv = hh[:k], vv[:k]
+        else:
+            theta = MAX_THETA
+        seen.add(ug[s])
+        yield (guniq[ug[s]], hh.astype(np.int64).tolist(),
+               vv.tolist(), theta)
+    for gi in range(len(guniq)):  # all-hashes-screened groups (h==0 only)
+        if gi not in seen:
+            yield (guniq[gi], [], [], MAX_THETA)
+
+
 def _merge_tuple(parts, k: int, policy: str):
     """Union partial tuple sketches: theta'=min, policy on hash collisions,
     trim to k smallest."""
@@ -113,20 +156,8 @@ def tuple_sketch_agg(df: DataFrame, group_col: str, key_col: str,
             if not len(pdf):
                 continue
             payload = pdf[payload_col].astype(float).to_numpy()
-            # argsort-segment by factorized group code (no per-group masks)
-            gcodes, guniq = pd.factorize(pdf[group_col].astype(str))
-            order = np.argsort(gcodes, kind="stable")
-            gs = gcodes[order]
-            keys_sorted = pdf[key_col].iloc[order]
-            payload_sorted = payload[order]
-            starts = np.flatnonzero(np.r_[True, gs[1:] != gs[:-1]])
-            ends = np.r_[starts[1:], len(gs)]
-            out = []
-            for s, e in zip(starts, ends):
-                hu, sums, theta = _partial_tuple(
-                    keys_sorted.iloc[s:e], payload_sorted[s:e], k, seed)
-                out.append((guniq[gs[s]], hu.astype(np.int64).tolist(),
-                            sums.tolist(), theta))
+            out = list(_update_batch(pdf[group_col], pdf[key_col],
+                                     payload, k, seed))
             yield pd.DataFrame(out, columns=[group_col, "entries",
                                              "payloads", "theta"])
 

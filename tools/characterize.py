@@ -21,12 +21,60 @@ from sparkdedup.functions.theta import (  # noqa: E402
     jaccard, kmv_from_hashes, kmv_union, screen_hashes)
 
 
+def group_scaling_microbench(seed: int = 0) -> None:
+    """Kernel cost vs group count for the KMV/tuple update phases:
+    argsort-segmentation must stay ~O(n log n) as groups go 10 -> 10^4
+    within a fixed-row batch (the round-1 per-group boolean-mask version
+    was O(groups x rows) — this guards the fix)."""
+    import time
+
+    import pandas as pd
+
+    rng = np.random.default_rng(seed)
+    n_rows = 200_000
+    print(f"\nupdate-kernel group scaling ({n_rows} rows/batch):")
+    print(f"{'groups':>8} {'kmv_sec':>9} {'tuple_sec':>10}")
+    for n_groups in (10, 100, 1_000, 10_000):
+        groups = rng.integers(0, n_groups, n_rows).astype(str)
+        vals = pd.Series(rng.integers(0, 50_000, n_rows).astype(str))
+        payload = rng.random(n_rows)
+        # kmv update phase body (mirrors kmv_agg.update_phase)
+        from sparkdedup.functions.murmur3 import murmur3_128_bytes
+        t0 = time.time()
+        codes, uniques = pd.factorize(vals)
+        h1, _ = murmur3_128_bytes([u.encode() for u in uniques], 9001)
+        hashes = (h1 >> np.uint64(1))[codes]
+        gcodes, guniq = pd.factorize(groups)
+        keep = hashes != np.uint64(0)
+        hashes_k, gcodes_k = hashes[keep], gcodes[keep]
+        order = np.lexsort((hashes_k, gcodes_k))
+        gs, hs = gcodes_k[order], hashes_k[order]
+        starts = np.flatnonzero(np.r_[True, gs[1:] != gs[:-1]])
+        ends = np.r_[starts[1:], len(gs)]
+        for s, e in zip(starts, ends):
+            gh = hs[s:e]
+            gh = gh[np.r_[True, gh[1:] != gh[:-1]]]
+            _ = gh[:256]
+        kmv_sec = time.time() - t0
+        # tuple update phase (the full batch kernel)
+        from sparkdedup.operators.tuple_agg import _update_batch
+        t0 = time.time()
+        _ = list(_update_batch(pd.Series(groups), vals, payload, 256, 9001))
+        tup_sec = time.time() - t0
+        print(f"{n_groups:>8} {kmv_sec:>9.3f} {tup_sec:>10.3f}")
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--trials", type=int, default=20)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--k", type=int, default=128)
+    ap.add_argument("--group-bench", action="store_true",
+                    help="run the 10^4-group update-kernel microbench only")
     args = ap.parse_args()
+    if args.group_bench:
+        group_scaling_microbench(args.seed)
+        return 0
     rng = np.random.default_rng(args.seed)
 
     print(f"{'n_a':>8} {'n_b':>8} {'true_J':>8} {'kmv_J':>8} {'kmv_err':>8} "
