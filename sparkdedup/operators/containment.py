@@ -17,10 +17,69 @@ applyInPandas per candidate when exact whole-file containment fails.
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from sparkdedup.config import DedupConfig
+
+
+def winnowed_gram_index(docs: DataFrame, id_col: str, text_col: str,
+                        anch: int = 24, w: int = 16,
+                        probe_only: bool = False) -> DataFrame:
+    """Winnowed substring-anchor index (MOSS-style, exact recall).
+
+    Index side (probe_only=False): (id, gh) rows where gh ranges over the
+    DISTINCT minima of every w-window of the doc's anch-byte-gram murmur3
+    hashes — expected density 2/(w+1), i.e. a ~w/2 x smaller index than
+    indexing every gram. Probe side (probe_only=True): ONE row per doc,
+    gh = min over the doc's first w gram hashes.
+
+    Guarantee: if ta occurs in tb (byte-wise; utf-8 substring relations
+    are preserved) and ta has >= w grams, ta's probe value equals tb's
+    window minimum of the w-window at the occurrence offset, which the
+    index keeps — perfect candidate recall, so an exact verifier
+    downstream makes the result exact. Implemented as a numpy kernel per
+    Arrow batch: strided gram gather -> segmented murmur3 -> sliding
+    window_view min (Spark 4.1's codegen for the equivalent nested
+    higher-order-function expressions is unreliable: flaky
+    INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND on self-joined reused scans)."""
+    from sparkdedup.functions.murmur3 import murmur3_128_bytes_segmented
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids_out: list[np.ndarray] = []
+            ghs_out: list[np.ndarray] = []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                data = text.encode("utf-8") if isinstance(text, str) else b""
+                n_grams = len(data) - anch + 1
+                if n_grams < w:
+                    continue
+                buf = np.frombuffer(data, dtype=np.uint8)
+                if probe_only:
+                    starts = np.arange(w, dtype=np.int64)
+                else:
+                    starts = np.arange(n_grams, dtype=np.int64)
+                h, _ = murmur3_128_bytes_segmented(
+                    buf, starts, np.full(len(starts), anch, np.int64), 9001)
+                if probe_only:
+                    sel = h.min(keepdims=True)
+                else:
+                    wins = np.lib.stride_tricks.sliding_window_view(h, w)
+                    sel = np.unique(wins.min(axis=1))
+                ids_out.append(np.full(len(sel), doc_id, dtype=np.int64))
+                ghs_out.append(sel.astype(np.int64))
+            if ids_out:
+                yield pd.DataFrame({
+                    "id": np.concatenate(ids_out),
+                    "gh": np.concatenate(ghs_out)})
+
+    return (docs.select(id_col, text_col)
+            .mapInPandas(run, schema="id long, gh long")
+            .withColumnRenamed("id", id_col))
 
 
 def containment_candidates(signatures: DataFrame, cfg: DedupConfig) -> DataFrame:

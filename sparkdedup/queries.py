@@ -186,34 +186,53 @@ WHERE round(inter * 1.0 / (na.n + nb.n - inter), 6) >= 0.2
 def q_substr_containment_docs(spark, sf_dir):
     """Exact substring containment: shorter doc pasted inside longer doc.
 
-    Scale plan: instead of the O(n^2) nested-loop instr, EQUI-join on a
-    24-char anchor — if ta is inside tb, then ta's first 24 chars equal
-    one of tb's 24-char substrings — then verify candidates with instr.
-    Exactly equivalent to the brute-force oracle (the anchor condition is
-    necessary), but the quadratic scan becomes shuffle join + linear gram
-    explode. Docs shorter than the anchor go through the (tiny) brute
-    branch."""
-    ANCH = 24
-    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
-    a = docs.select(F.col("doc_id").alias("src"), F.col("text").alias("ta"))
-    b = docs.select(F.col("doc_id").alias("dst"), F.col("text").alias("tb"))
+    Scale plan — winnowed anchor index (MOSS-style, exact recall):
+    instead of indexing EVERY 24-char gram of every container (w=1
+    winnowing, O(chars) index rows), the container side keeps only window
+    minima: position i is selected iff its gram hash is the minimum of
+    some w-window containing it (two window passes: trailing rolling min,
+    then leading max of that) — expected 2/(w+1) density, a ~w/2 x smaller
+    index and join. The containee side needs exactly ONE probe: the argmin
+    gram among its first w grams. Guarantee: if ta occurs in tb at offset
+    o and has >= w grams, ta's argmin over grams [1..w] IS tb's window
+    minimum of [o..o+w-1], which the selection keeps — so the candidate
+    join has perfect recall (64-bit hash ties are the only caveat,
+    ~w^2/2^64 per window). Verification is exact (instr), so false
+    positives are free. Docs with fewer than ANCH+W-1 chars go through
+    the (tiny) brute branch."""
+    ANCH, W = 24, 16
+    # independent scans per side: deriving both from one DataFrame trips a
+    # Catalyst attribute-resolution INTERNAL_ERROR on the self-join over
+    # the windowed posexplode (Spark 4.1)
+    a = _read(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("src"), F.col("text").alias("ta"))
+    b = _read(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("dst"), F.col("text").alias("tb"))
+    min_len = ANCH + W - 1
 
-    long_a = a.filter(F.length("ta") >= ANCH).withColumn(
-        "anchor", F.substring("ta", 1, ANCH))
-    b_grams = (
-        b.filter(F.length("tb") >= ANCH)
-        .select("dst", F.col("tb"),
-                F.explode(F.expr(
-                    f"transform(sequence(1, length(tb) - {ANCH} + 1), "
-                    f"i -> substring(tb, i, {ANCH}))")).alias("anchor"))
-        .dropDuplicates(["dst", "anchor"])
-    )
-    cand = (long_a.join(b_grams, "anchor")
+    # container side: winnowed gram index (operators/containment.py) —
+    # (dst, gh) skinny rows, ~2/(W+1) of all gram positions; text is
+    # re-joined for verification, never shuffled with the index
+    from sparkdedup.operators.containment import winnowed_gram_index
+
+    docs_b = _read(spark, sf_dir, "documents")
+    sel = winnowed_gram_index(docs_b, "doc_id", "text", ANCH, W) \
+        .withColumnRenamed("doc_id", "dst")
+
+    # containee side: ONE probe per doc — min gram hash of the first W
+    probe_ids = winnowed_gram_index(docs_b, "doc_id", "text", ANCH, W,
+                                    probe_only=True) \
+        .withColumnRenamed("doc_id", "src")
+    probe = probe_ids.join(a, "src")
+
+    cand = (probe.join(sel, "gh")
+            .select("src", "ta", "dst").distinct()
+            .join(b, "dst")
             .filter((F.col("src") != F.col("dst"))
                     & (F.length("ta") < F.length("tb"))))
     verified = cand.filter(F.instr(F.col("tb"), F.col("ta")) > 0)
 
-    short_a = a.filter(F.length("ta") < ANCH)
+    short_a = a.filter(F.length("ta") < min_len)
     brute = (short_a.join(b, (F.col("src") != F.col("dst"))
                           & (F.length("ta") < F.length("tb"))
                           & (F.instr(F.col("tb"), F.col("ta")) > 0)))
