@@ -145,6 +145,87 @@ def cosine_pairs_blocked(emb: DataFrame, threshold: float,
         run, schema="src long, dst long, cosine double")
 
 
+def _kmeans_fit(x: np.ndarray, n_centroids: int, seed: int,
+                iters: int = 12) -> np.ndarray:
+    """Small deterministic k-means (random init from the sample, Lloyd
+    iterations) — the coarse quantizer for IVF. Runs driver-side on a
+    bounded sample; the model is O(n_centroids x dim) floats."""
+    rng = np.random.default_rng(seed)
+    n = len(x)
+    c = x[rng.choice(n, size=min(n_centroids, n), replace=False)].copy()
+    for _ in range(iters):
+        d = ((x[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for j in range(len(c)):
+            m = assign == j
+            if m.any():
+                c[j] = x[m].mean(axis=0)
+    return c
+
+
+def ann_ivf_topk(emb: DataFrame, k: int = 5, n_centroids: int = 16,
+                 n_probe: int = 4, seed: int = 9001,
+                 sample_mod: int = 4, round_to: int = 4,
+                 id_col: str = "vec_id",
+                 vec_col: str = "embedding") -> DataFrame:
+    """IVF approximate top-k cosine neighbors: a k-means coarse quantizer
+    partitions vectors into cells (inverted lists); each query probes its
+    n_probe nearest cells and reranks candidates exactly.
+
+    The quantizer trains driver-side on a deterministic hash sample
+    (pmod(xxhash64(id), sample_mod) == 0) — fitting a coarse codebook is
+    inherently a small-model step (the model is n_centroids x dim floats,
+    broadcast in the kernel closure); ALL per-vector work stays
+    distributed. Complements ann_lsh_topk: IVF adapts to the data
+    distribution where hyperplane LSH is oblivious."""
+    sample = (emb.filter(
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(sample_mod)) == 0)
+        .select(vec_col).toPandas())
+    x = np.stack(sample[vec_col].to_numpy()).astype(np.float64)
+    x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    cents = _kmeans_fit(x, n_centroids, seed)
+    cents /= np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
+
+    def assign(n_cells: int):
+        def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                v = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+                v /= np.maximum(np.linalg.norm(v, axis=1, keepdims=True),
+                                1e-12)
+                sim = v @ cents.T
+                top = np.argsort(-sim, axis=1)[:, :n_cells]
+                yield pd.DataFrame({
+                    "vid": np.repeat(pdf[id_col].to_numpy(), n_cells),
+                    "cell": top.reshape(-1)})
+        return run
+
+    cells = emb.mapInPandas(assign(1), schema="vid long, cell int")
+    probes = emb.mapInPandas(assign(n_probe), schema="vid long, cell int")
+    cands = (probes.withColumnRenamed("vid", "qid")
+             .join(cells.withColumnRenamed("vid", "nid"), "cell")
+             .filter(F.col("qid") != F.col("nid"))
+             .select("qid", "nid").distinct())
+
+    e1 = emb.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qv"))
+    e2 = emb.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("nv"))
+    dot = F.aggregate(
+        F.zip_with("qv", "nv", lambda x_, y: x_.cast("double") * y.cast("double")),
+        F.lit(0.0), lambda acc, x_: acc + x_)
+    norm = lambda c: F.sqrt(F.aggregate(  # noqa: E731
+        F.transform(c, lambda x_: x_.cast("double") * x_.cast("double")),
+        F.lit(0.0), lambda acc, x_: acc + x_))
+    scored = (cands.join(e1, "qid").join(e2, "nid")
+              .withColumn("cosine", F.round(
+                  dot / (norm(F.col("qv")) * norm(F.col("nv"))), round_to)))
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("nid"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("qid", "nid", "cosine",
+                    F.col("rank").cast("long").alias("rank")))
+
+
 def ann_brute_topk(emb: DataFrame, queries: DataFrame, k: int = 5,
                    round_to: int = 4) -> DataFrame:
     """Exact top-k for a (small, broadcastable) query set — the oracle and

@@ -317,17 +317,79 @@ WHERE round(inter * 1.0 / (na.n + nb.n - inter), 6) >= 0.5
 """
 
 
+def q_neardup_clusters_docs(spark, sf_dir):
+    """END-TO-END near-duplicate clustering: MinHash-LSH candidate pruning
+    -> exact 3-gram Jaccard verification (tau=0.5) -> OUR iterative
+    connected-components operator -> a cluster id for every document
+    (singletons map to themselves).
+
+    This is the full dedup pipeline shape as one driver-checkable query:
+    the oracle recomputes the exact edge set in SQL and closes it with a
+    recursive CTE, so LSH recall, the verifier, AND the CC fixpoint are
+    all gated at once."""
+    from sparkdedup.config import DedupConfig
+    from sparkdedup.operators.components import connected_components
+
+    docs = _read(spark, sf_dir, "documents")
+    pairs = q_minhash_lsh_docs(spark, sf_dir)  # (src, dst, jaccard) exact
+    edges = pairs.select("src", "dst")
+    nodes = docs.select(F.col("doc_id").alias("file_id"))
+    clusters, _ = connected_components(edges, nodes, DedupConfig(),
+                                       checkpoint=True)
+    return clusters.select(F.col("file_id").alias("doc_id"), "cluster_id")
+
+
+SQL_NEARDUP_CLUSTERS_DOCS = """
+WITH RECURSIVE words AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents
+), grams AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, len(w) - 2 + 1),
+           i -> array_to_string(w[i:i+2], ' '))) AS g
+  FROM words WHERE len(w) >= 3
+), inv AS (
+  SELECT doc_id, unnest(g) AS gram FROM grams
+), inter AS (
+  SELECT a.doc_id AS src, b.doc_id AS dst, count(*) AS inter
+  FROM inv a JOIN inv b USING (gram)
+  WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+), edges0 AS (
+  SELECT src, dst FROM inter
+  JOIN grams na ON na.doc_id = src
+  JOIN grams nb ON nb.doc_id = dst
+  WHERE round(inter * 1.0 / (len(na.g) + len(nb.g) - inter), 6) >= 0.5
+), edges AS (
+  SELECT src, dst FROM edges0 UNION SELECT dst, src FROM edges0
+), reach (src, dst) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+)
+SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY 1
+"""
+
+
 # --------------------------------------------------------------------------
 # text analysis family
 # --------------------------------------------------------------------------
 
+_BPE_PAT = " ?[A-Za-z]+| ?[0-9]{1,3}| ?[^A-Za-z0-9 \\t\\n\\r]+|[ \\t\\n\\r]+"
+
+
 def q_token_count_docs(spark, sf_dir):
+    """Token counting, two tokenizers: whitespace split and a BPE-ish
+    regex (GPT-2-style classes: space-prefixed letter runs, <=3-digit
+    number chunks, punct runs, whitespace runs — constructs chosen to
+    behave identically under Java regex and RE2)."""
     docs = _read(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
         F.when(F.length(F.trim("text")) == 0, F.lit(0))
          .otherwise(F.size(F.split(F.trim("text"), r"\s+")))
          .cast("long").alias("n_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit(_BPE_PAT), F.lit(0)))
+         .cast("long").alias("n_tokens_bpe"),
         F.length("text").cast("long").alias("n_chars_actual"),
     )
 
@@ -336,6 +398,9 @@ SQL_TOKEN_COUNT_DOCS = """
 SELECT doc_id,
        CASE WHEN length(trim(text)) = 0 THEN 0
             ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens,
+       len(regexp_extract_all(text,
+           ' ?[A-Za-z]+| ?[0-9]{1,3}| ?[^A-Za-z0-9 \\t\\n\\r]+|[ \\t\\n\\r]+'
+           )) AS n_tokens_bpe,
        length(text) AS n_chars_actual
 FROM documents
 """
@@ -1209,6 +1274,7 @@ QUERIES = {
     "anotb_customers": q_anotb_customers,
     "kll_hist_prices": q_kll_hist_prices,
     "hll_union_users": q_hll_union_users,
+    "neardup_clusters_docs": q_neardup_clusters_docs,
 }
 
 ORACLES = {
@@ -1245,6 +1311,7 @@ ORACLES = {
     "reservoir_orders": SQL_RESERVOIR_ORDERS,
     "anotb_customers": SQL_ANOTB_CUSTOMERS,
     "kll_hist_prices": SQL_KLL_HIST_PRICES,
+    "neardup_clusters_docs": SQL_NEARDUP_CLUSTERS_DOCS,
     # hll_distinct_users / hll_union_users: deliberately rows-only — the
     # HLL estimate is approximate by construction and Spark's DataSketches
     # HLL binary is not ANSI-SQL-expressible; accuracy + binary compat are

@@ -39,6 +39,24 @@ def test_lsh_ann_recall_vs_brute(spark, emb):
     assert recall >= 0.60, f"LSH ANN recall too low: {recall}"
 
 
+def test_ivf_ann_recall_vs_brute(spark, emb):
+    """IVF (k-means coarse quantizer + n_probe cells) must recover most of
+    the exact top-3 neighbor sets, and beat a single-probe baseline."""
+    from sparkdedup.operators.similarity import ann_brute_topk, ann_ivf_topk
+
+    exact = ann_brute_topk(emb, emb, k=3).toPandas()
+    approx = ann_ivf_topk(emb, k=3, n_centroids=8, n_probe=4).toPandas()
+    ex = set(zip(exact.qid, exact.nid))
+    ap = set(zip(approx.qid, approx.nid))
+    recall = len(ex & ap) / len(ex)
+    assert recall >= 0.60, f"IVF ANN recall too low: {recall}"
+    # determinism: same params -> same result
+    again = ann_ivf_topk(emb, k=3, n_centroids=8, n_probe=4).toPandas()
+    a1 = sorted(zip(approx.qid, approx.nid, approx.cosine))
+    a2 = sorted(zip(again.qid, again.nid, again.cosine))
+    assert a1 == a2
+
+
 def test_lsh_buckets_deterministic(spark, emb):
     from sparkdedup.operators.similarity import hyperplane_buckets
 
