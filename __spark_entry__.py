@@ -47,11 +47,15 @@ def _ensure_shipped(spark: SparkSession) -> None:
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
+    """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
+
+    neardup_clusters_docs = the engine's full core shape in one query:
+    MinHash signatures -> LSH banding -> exact-Jaccard verification ->
+    iterative connected components -> a cluster id per document."""
     _ensure_shipped(spark)
     from sparkdedup.queries import QUERIES
 
-    return QUERIES["minhash_lsh_docs"](spark, "/root/testdata/sf0.001")
+    return QUERIES["neardup_clusters_docs"](spark, "/root/testdata/sf0.001")
 
 
 def _wrapped(name: str, spark: SparkSession, sf_dir: str) -> DataFrame:
