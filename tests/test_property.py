@@ -88,3 +88,58 @@ def test_pairwise_jaccard_exact_when_untruncated(a_vals, b_vals):
         assert est[0] == true_j
         assert lb[0] <= est[0] <= ub[0]
     assert inter[0] == len(A & B)
+
+
+# --------------------------------------------------------------------------
+# tokenizer fast-path parity (the numpy ASCII state machine vs the regex)
+# --------------------------------------------------------------------------
+
+def _regex_token_hashes(texts, seed=9001):
+    import pandas as pd
+
+    from sparkdedup.functions.tokenize import _TOKEN_RE
+    token_lists = [_TOKEN_RE.findall(t) if isinstance(t, str) else []
+                   for t in texts]
+    n = np.array([len(t) for t in token_lists], np.int64)
+    flat = [t for toks in token_lists for t in toks]
+    if not flat:
+        return np.empty(0, np.uint64), n
+    codes, uniques = pd.factorize(pd.Series(flat, dtype=object))
+    uh1, _ = murmur3_128_bytes([u.encode("utf-8") for u in uniques], seed)
+    return uh1[codes], n
+
+
+@given(st.lists(st.text(min_size=0, max_size=120), min_size=0, max_size=12))
+@settings(max_examples=150, deadline=None)
+def test_tokenizer_fast_path_matches_regex(texts):
+    """token_hashes_batch (numpy byte-level fast path + per-doc regex
+    fallback for non-ASCII) must produce the exact token-hash stream and
+    per-doc counts of the reference regex path, on ARBITRARY unicode."""
+    import pandas as pd
+
+    from sparkdedup.functions.tokenize import token_hashes_batch
+
+    got_h, got_seg, got_n = token_hashes_batch(pd.Series(texts), 9001)
+    want_h, want_n = _regex_token_hashes(texts)
+    assert np.array_equal(got_n, want_n)
+    assert np.array_equal(got_h, want_h)
+    assert np.array_equal(got_seg,
+                          np.repeat(np.arange(len(texts), dtype=np.int64),
+                                    got_n))
+
+
+@given(st.lists(st.text(
+    alphabet=st.characters(min_codepoint=0, max_codepoint=127),
+    min_size=0, max_size=300), min_size=1, max_size=8))
+@settings(max_examples=150, deadline=None)
+def test_tokenizer_ascii_path_matches_regex(texts):
+    """Pure-ASCII inputs exercise ONLY the numpy state machine (no regex
+    fallback) — same parity contract, denser coverage of the class table."""
+    import pandas as pd
+
+    from sparkdedup.functions.tokenize import token_hashes_batch
+
+    got_h, _, got_n = token_hashes_batch(pd.Series(texts), 9001)
+    want_h, want_n = _regex_token_hashes(texts)
+    assert np.array_equal(got_n, want_n)
+    assert np.array_equal(got_h, want_h)
