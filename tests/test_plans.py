@@ -79,3 +79,62 @@ def test_range_join_uses_equi_key(spark):
     assert "CartesianProduct" not in plan
     assert ("SortMergeJoin" in plan or "ShuffledHashJoin" in plan
             or "BroadcastHashJoin" in plan)
+
+
+def test_ngram_jaccard_plan(spark):
+    """Inverted-index self-join: hash/SMJ equi-joins on the gram-hash key,
+    map-side partial counts, no cartesian."""
+    plan = _plan(spark, "ngram_jaccard_pairs")
+    assert "CartesianProduct" not in plan
+    assert "partial_count" in plan
+    assert ("SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+            or "BroadcastHashJoin" in plan)
+
+
+def test_tuple_pre_aggregation_in_plan(spark):
+    """tuple_sketch_agg must reduce (group, key) JVM-side (HashAggregate
+    with partial agg) BEFORE the python sketch kernel sees rows."""
+    plan = _plan(spark, "tuple_user_spend")
+    py_idx = plan.find("MapInPandas")
+    agg_idx = plan.find("HashAggregate")
+    assert py_idx != -1 and agg_idx != -1
+    # the pre-agg HashAggregate appears below (later in the tree string
+    # than) the python kernel operator
+    assert "partial_sum" in plan or "partial_count" in plan
+
+
+def test_bloom_probe_broadcasts_bitmap(spark):
+    """Membership probing joins the (tiny) bitmap via broadcast — probes
+    never shuffle against it."""
+    plan = _plan(spark, "bloom_member_custkeys")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_embedding_gemm_tile_grid(spark):
+    """Blocked-GEMM pairs: the only join is the B^2 block-grid join (tiny
+    row count, fat payload); the per-vector data reaches it through ONE
+    aggregation, and the pair math happens in the Arrow kernel."""
+    plan = _plan(spark, "embedding_neardup_pairs")
+    assert "MapInPandas" in plan
+    assert "ObjectHashAggregate" in plan or "SortAggregate" in plan \
+        or "HashAggregate" in plan  # collect_list blocks
+    # no per-pair JVM expression tree (zip_with) left in this plan
+    assert "zip_with" not in plan.lower()
+
+
+def test_substr_containment_plan(spark):
+    """Winnowed index: skinny (id, gh) equi-joins, content re-joined only
+    at verification; no cartesian anywhere."""
+    plan = _plan(spark, "substr_containment_docs")
+    assert "CartesianProduct" not in plan
+    assert "MapInPandas" in plan  # the winnowing kernel
+
+
+def test_kmv_tokens_partial_pipeline(spark):
+    """KMV aggregate: mapInPandas partials then a grouped python union —
+    exactly one exchange between them carrying (group, <=k longs)."""
+    plan = _plan(spark, "kmv_distinct_tokens")
+    assert "MapInPandas" in plan
+    assert "FlatMapGroupsInPandas" in plan or "ApplyInPandas" in plan \
+        or "FlatMapGroupsIn" in plan
