@@ -118,6 +118,16 @@ def _hash_tokens_dedup(flat: np.ndarray, starts: np.ndarray,
         return out
     from sparkdedup.functions.murmur3 import _final_mix  # single-block form
 
+    # The packed-word identity keys below are collision-free ONLY when no
+    # token contains a NUL byte (zero-padding would alias "a" and "a\x00").
+    # Regex tokens are NUL-free by construction except the 1-byte "\x00"
+    # token (unique at w0=0), but whitespace-split WORDS may contain NULs
+    # — if the buffer has any, hash everything through the exact segmented
+    # kernel instead (rare; costs the dedup win, never correctness).
+    if np.any(flat == 0):
+        h_all, _ = murmur3_128_bytes_segmented(flat, starts, lengths, seed)
+        return h_all
+
     # tokens <= 8 bytes (vast majority): multi-char tokens are pure
     # [A-Za-z0-9_] (never a NUL byte) and 1-byte tokens are < 256 while
     # multi-byte ones have a nonzero 2nd byte, so the zero-padded
@@ -251,6 +261,69 @@ def token_hashes_batch(
         hashes = out
     seg = np.repeat(np.arange(n_docs, dtype=np.int64), n_tokens)
     return hashes, seg, n_tokens
+
+
+def word_gram_hashes_batch(texts: pd.Series, n: int,
+                           seed: int = 9001) -> tuple[np.ndarray, np.ndarray]:
+    """DISTINCT word-n-gram hashes per doc for a batch of texts.
+
+    Word tokenization is whitespace-split (the text-analysis contract,
+    not the code-token regex); a gram's identity is the murmur3 of its n
+    word hashes (hash-triple identity == string identity modulo 2^-64
+    collisions). Returns (flat gram hashes uint64, doc seg ids) with
+    in-doc dedup done (sorted per segment).
+
+    Fully vectorized: byte-level word spans -> dedup word hashing
+    (_hash_tokens_dedup) -> sliding-window murmur over word-hash rows ->
+    per-segment sort + adjacent-dedup."""
+    tl = list(texts)
+    n_docs = len(tl)
+    enc = [t.encode("utf-8") if isinstance(t, str) else b"" for t in tl]
+    lens = np.fromiter((len(b) for b in enc), dtype=np.int64, count=n_docs)
+    if n_docs == 0 or int(lens.sum()) == 0:
+        return np.empty(0, U64), np.empty(0, np.int64)
+    flat = np.frombuffer(b"\n".join(enc), dtype=np.uint8)
+    doc_starts = np.cumsum(lens + 1) - (lens + 1)
+    # whitespace per the \s+ contract: match python/Java/RE2 ASCII space
+    # classes; non-ASCII bytes are word bytes (utf-8 sequences never
+    # contain ASCII space bytes, so byte-level spans are codepoint-safe)
+    is_space = np.isin(flat, np.frombuffer(b" \t\n\r\x0b\x0c", np.uint8))
+    is_word = ~is_space
+    ws = np.flatnonzero(is_word[1:] & ~is_word[:-1]) + 1
+    if is_word[0]:
+        ws = np.r_[0, ws]
+    we = np.flatnonzero(~is_word[1:] & is_word[:-1]) + 1
+    if is_word[-1]:
+        we = np.r_[we, len(flat)]
+    w_hashes = _hash_tokens_dedup(flat, ws, we - ws, seed)
+    firsts = np.searchsorted(ws, doc_starts)
+    n_words = np.diff(np.r_[firsts, len(ws)]).astype(np.int64)
+    seg = np.repeat(np.arange(n_docs, dtype=np.int64), n_words)
+    # sliding n-window murmur over the flat word-hash stream; keep only
+    # windows fully inside a doc with >= n words
+    if len(w_hashes) < n:
+        return np.empty(0, U64), np.empty(0, np.int64)
+    windows = np.lib.stride_tricks.sliding_window_view(w_hashes, n)
+    gh_all = np.empty(len(windows), dtype=U64)
+    CH = 1 << 18
+    for s in range(0, len(windows), CH):
+        e = min(s + CH, len(windows))
+        gh_all[s:e], _ = murmur3_128_int64_rows(windows[s:e], seed)
+    n_grams = np.maximum(n_words - n + 1, 0)
+    starts_w = np.cumsum(n_words) - n_words
+    vseg = np.repeat(np.arange(n_docs, dtype=np.int64), n_grams)
+    vstarts = np.cumsum(n_grams) - n_grams
+    offs = np.arange(int(n_grams.sum()), dtype=np.int64) - vstarts[vseg]
+    gh = gh_all[starts_w[vseg] + offs]
+    # per-doc distinct: segments are contiguous -> per-slice sort + dedup
+    gh = gh.copy()
+    seg_offs = np.cumsum(n_grams) - n_grams
+    for d in np.flatnonzero(n_grams):
+        gh[seg_offs[d]: seg_offs[d] + n_grams[d]].sort()
+    keep = np.ones(len(gh), dtype=bool)
+    if len(gh):
+        keep[1:] = (gh[1:] != gh[:-1]) | (vseg[1:] != vseg[:-1])
+    return gh[keep], vseg[keep]
 
 
 def shingle_hashes_batch(

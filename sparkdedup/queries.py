@@ -125,18 +125,32 @@ def q_ngram_jaccard_pairs(spark, sf_dir):
     jaccard stays self-consistent ("similarity over distinctive grams").
     At the oracle scale the cap is dormant (max df 25 << 64, asserted in
     tests), so the result equals the exact uncapped jaccard. Grams are
-    never materialized as strings: each 3-word window is hashed directly
-    (xxhash64 over the sliced word array) — longs shuffle ~3x cheaper than
-    20-char grams and the concat never happens."""
+    never materialized as strings: a numpy kernel emits each doc's
+    DISTINCT 3-gram hashes directly (byte-level word spans -> dedup word
+    hashing -> sliding-window murmur — functions/tokenize.py::
+    word_gram_hashes_batch), so only skinny (doc_id, gh) longs ever leave
+    the scan."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
     posting_cap = 64
     docs = _read(spark, sf_dir, "documents")
-    w = F.split(F.trim("text"), r"\s+")
-    grams_h = docs.filter(F.size(w) >= 3).select(
-        "doc_id",
-        F.array_distinct(F.transform(
-            F.sequence(F.lit(1), F.size(w) - 2),
-            lambda i: F.xxhash64(F.slice(w, i, 3)))).alias("g"))
-    inv = grams_h.select("doc_id", F.explode("g").alias("gh")).cache()
+
+    def gram_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from sparkdedup.functions.tokenize import word_gram_hashes_batch
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            gh, seg = word_gram_hashes_batch(pdf["text"], 3)
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"].to_numpy()[seg],
+                "gh": gh.astype(np.int64)})
+
+    inv = (docs.select("doc_id", "text")
+           .mapInPandas(gram_kernel, schema="doc_id long, gh long")
+           .cache())
     df_counts = inv.groupBy("gh").agg(F.count("*").alias("df"))
     cold = inv.join(df_counts.filter(F.col("df") <= posting_cap), "gh")
     sizes = cold.groupBy("doc_id").agg(F.count("*").alias("n"))

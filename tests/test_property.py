@@ -143,3 +143,37 @@ def test_tokenizer_ascii_path_matches_regex(texts):
     want_h, want_n = _regex_token_hashes(texts)
     assert np.array_equal(got_n, want_n)
     assert np.array_equal(got_h, want_h)
+
+
+@given(st.lists(st.text(
+    alphabet=st.sampled_from(list("ab \t\n\x00é9")),
+    min_size=0, max_size=80), min_size=1, max_size=8))
+@settings(max_examples=150, deadline=None)
+def test_word_gram_hashes_match_string_grams(texts):
+    """word_gram_hashes_batch's hash-triple gram identity must agree with
+    string-gram identity: per-doc distinct counts AND pairwise
+    intersection sizes (the quantities the jaccard query consumes) equal
+    the pure-python string computation — including NUL bytes in words
+    (the packed-word dedup fast path must detect and bypass them)."""
+    import pandas as pd
+
+    from sparkdedup.functions.tokenize import word_gram_hashes_batch
+
+    gh, seg = word_gram_hashes_batch(pd.Series(texts), 3)
+    got = {}
+    for h, s in zip(gh, seg):
+        got.setdefault(int(s), set()).add(int(h))
+
+    want = {}
+    for d, t in enumerate(texts):
+        ws = t.split()
+        if len(ws) >= 3:
+            want[d] = {" ".join(ws[i:i + 3]) for i in range(len(ws) - 2)}
+    assert set(got) == set(want)
+    for d in want:
+        assert len(got[d]) == len(want[d]), (d, texts[d])
+    docs = sorted(want)
+    for i in range(len(docs)):
+        for j in range(i + 1, len(docs)):
+            a, b = docs[i], docs[j]
+            assert len(got[a] & got[b]) == len(want[a] & want[b])
