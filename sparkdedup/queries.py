@@ -81,35 +81,54 @@ FROM documents
 """
 
 
-def _word_grams(docs: DataFrame, n: int = 3) -> DataFrame:
-    """(doc_id, g: distinct word n-gram array) for docs with >= n words."""
-    return (
-        docs.select(
-            "doc_id",
-            F.split(F.trim(F.col("text")), r"\s+").alias("w"))
-        .filter(F.size("w") >= n)
-        .select(
-            "doc_id",
-            F.array_distinct(
-                F.transform(
-                    F.sequence(F.lit(1), F.size("w") - (n - 1)),
-                    lambda i: F.concat_ws(" ", F.slice("w", i, n)),
-                )).alias("g"))
-    )
+def _word_gram_inv(spark, sf_dir) -> DataFrame:
+    """(doc_id, gh) distinct word-3-gram hashes per document via the numpy
+    kernel (functions/tokenize.py::word_gram_hashes_batch) — hash-gram
+    identity equals string-gram identity (property-tested), and only
+    skinny longs leave the scan."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    docs = _read(spark, sf_dir, "documents")
+
+    def gram_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from sparkdedup.functions.tokenize import word_gram_hashes_batch
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            gh, seg = word_gram_hashes_batch(pdf["text"], 3)
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"].to_numpy()[seg],
+                "gh": gh.astype(np.int64)})
+
+    return (docs.select("doc_id", "text")
+            .mapInPandas(gram_kernel, schema="doc_id long, gh long"))
 
 
-def _exact_jaccard_on_pairs(cand: DataFrame, grams: DataFrame,
+def _exact_jaccard_on_pairs(cand: DataFrame, inv: DataFrame,
                             threshold: float) -> DataFrame:
     """Exact Jaccard verification of (src, dst) candidate pairs from the
-    docs' distinct-gram arrays: |A∩B| / (|A|+|B|-|A∩B|) JVM-side."""
-    ga = grams.select(F.col("doc_id").alias("src"), F.col("g").alias("ga"))
-    gb = grams.select(F.col("doc_id").alias("dst"), F.col("g").alias("gb"))
-    inter = F.size(F.array_intersect("ga", "gb"))
-    jac = F.round(inter / (F.size("ga") + F.size("gb") - inter), 6)
-    return (cand.join(ga, "src").join(gb, "dst")
-            .withColumn("jaccard", jac)
-            .filter(F.col("jaccard") >= threshold)
-            .select("src", "dst", "jaccard"))
+    (doc_id, gh) distinct-gram-hash table: |A∩B| as a COUNT over skinny
+    equi-joins restricted to candidate docs — no gram arrays ever join
+    (the array/HOF formulation also trips a flaky Spark 4.1 codegen bug
+    on self-joined scans, see operators/containment.py)."""
+    sizes = inv.groupBy("doc_id").agg(F.count("*").alias("n"))
+    inv_a = inv.select(F.col("doc_id").alias("src"), "gh")
+    inv_b = inv.select(F.col("doc_id").alias("dst"), "gh")
+    a_c = inv_a.join(cand.select("src").distinct(), "src", "left_semi")
+    b_c = inv_b.join(cand.select("dst").distinct(), "dst", "left_semi")
+    inter = (cand.join(a_c, "src").join(b_c, ["dst", "gh"])
+             .groupBy("src", "dst").agg(F.count("*").alias("inter")))
+    na = sizes.select(F.col("doc_id").alias("src"), F.col("n").alias("na"))
+    nb = sizes.select(F.col("doc_id").alias("dst"), F.col("n").alias("nb"))
+    return (
+        inter.join(na, "src").join(nb, "dst")
+        .withColumn("jaccard", F.round(
+            F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("src", "dst", "jaccard"))
 
 
 def q_ngram_jaccard_pairs(spark, sf_dir):
@@ -130,27 +149,8 @@ def q_ngram_jaccard_pairs(spark, sf_dir):
     hashing -> sliding-window murmur — functions/tokenize.py::
     word_gram_hashes_batch), so only skinny (doc_id, gh) longs ever leave
     the scan."""
-    from collections.abc import Iterator
-
-    import numpy as np
-    import pandas as pd
-
     posting_cap = 64
-    docs = _read(spark, sf_dir, "documents")
-
-    def gram_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from sparkdedup.functions.tokenize import word_gram_hashes_batch
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            gh, seg = word_gram_hashes_batch(pdf["text"], 3)
-            yield pd.DataFrame({
-                "doc_id": pdf["doc_id"].to_numpy()[seg],
-                "gh": gh.astype(np.int64)})
-
-    inv = (docs.select("doc_id", "text")
-           .mapInPandas(gram_kernel, schema="doc_id long, gh long")
-           .cache())
+    inv = _word_gram_inv(spark, sf_dir).cache()
     df_counts = inv.groupBy("gh").agg(F.count("*").alias("df"))
     cold = inv.join(df_counts.filter(F.col("df") <= posting_cap), "gh")
     sizes = cold.groupBy("doc_id").agg(F.count("*").alias("n"))
@@ -299,8 +299,8 @@ def q_minhash_lsh_docs(spark, sf_dir):
         .select(F.least("src_doc", "dst_doc").alias("src"),
                 F.greatest("src_doc", "dst_doc").alias("dst"))
         .distinct())
-    grams = _word_grams(docs, 3)
-    return _exact_jaccard_on_pairs(cand_docs, grams, 0.5)
+    inv = _word_gram_inv(spark, sf_dir)
+    return _exact_jaccard_on_pairs(cand_docs, inv, 0.5)
 
 
 SQL_MINHASH_LSH_DOCS = """

@@ -171,10 +171,9 @@ def test_ngram_posting_cap_lossless_here(spark):
     query equals the exact uncapped answer — asserted via the oracle test
     above; here we just confirm the cap is actually above the observed max
     df (i.e. the guard is dormant, not silently lossy)."""
-    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
-    from sparkdedup.queries import _word_grams
-    inv = _word_grams(docs, 3).select(F.explode("g").alias("gram"))
-    max_df = (inv.groupBy("gram").count()
+    from sparkdedup.queries import _word_gram_inv
+    inv = _word_gram_inv(spark, SF_DIR)
+    max_df = (inv.groupBy("gh").count()
               .agg(F.max("count").alias("m")).first()["m"])
     assert max_df <= 64, f"posting cap 64 would be lossy here (max df={max_df})"
 
