@@ -60,6 +60,51 @@ class TupleSketchImage:
         return float(self.summaries.sum()) / self.theta_frac
 
 
+def decode_aod_sketch(data: bytes,
+                      expected_seed: int | None = 9001) -> tuple[
+                          TupleSketchImage, np.ndarray]:
+    """Parse an ArrayOfDoubles (aod) tuple sketch — the reference's
+    canonical concrete tuple sketch (tuple/arrayofnumbers_sketch_decoder.go:
+    56-160): [pre u8, serVer=1, family=9, sketchType=3, flags u8,
+    nValues u8, seedHash u16], theta u64 (always), then if hasEntries:
+    u32 numEntries + u32 unused + ALL hashes (u64 x n) followed by ALL
+    summaries (f8 x n x nValues). Flags: empty=bit2, hasEntries=bit3,
+    ordered=bit4 (tuple/arrayofnumbers_compact_sketch.go:34-40).
+
+    Returns (image with summaries = first value column, full (n, nValues)
+    value matrix)."""
+    if len(data) < 16:
+        raise ValueError("aod sketch too short")
+    pre, ver, family, stype, flags, n_values = data[:6]
+    seed_hash = struct.unpack_from("<H", data, 6)[0]
+    if family != TUPLE_FAMILY or ver != 1 or stype != 3:
+        raise ValueError(
+            f"not an aod sketch (family {family}, ver {ver}, type {stype})")
+    is_empty = bool(flags & (1 << 2))
+    has_entries = bool(flags & (1 << 3))
+    is_ordered = bool(flags & (1 << 4))
+    if has_entries and expected_seed is not None:
+        want = compute_seed_hash(expected_seed)
+        if seed_hash != want:
+            raise ValueError(
+                f"seed hash mismatch: {seed_hash:#x} != {want:#x}")
+    theta = struct.unpack_from("<q", data, 8)[0]
+    if not has_entries:
+        img = TupleSketchImage(np.empty(0, np.uint64), np.empty(0, np.int64),
+                               int(theta), seed_hash, is_empty, is_ordered)
+        return img, np.empty((0, n_values), np.float64)
+    num = struct.unpack_from("<I", data, 16)[0]
+    pos = 24
+    hashes = np.frombuffer(data, dtype="<u8", count=num, offset=pos)
+    pos += 8 * num
+    vals = np.frombuffer(data, dtype="<f8", count=num * n_values,
+                         offset=pos).reshape(num, n_values)
+    img = TupleSketchImage(hashes.astype(np.uint64),
+                           vals[:, 0].astype(np.int64), int(theta),
+                           seed_hash, is_empty, is_ordered)
+    return img, vals
+
+
 def decode_tuple_sketch(data: bytes, expected_seed: int | None = 9001,
                         summary_bytes: int | None = None) -> TupleSketchImage:
     """Parse a compact tuple sketch with integer summaries.
