@@ -118,3 +118,31 @@ def test_reservoir_longs_decode(path, gen):
         # exact mode: the sample IS the stream
         got = sorted(img.samples.tolist())
         assert got == list(range(n)) or got == list(range(1, n + 1))
+
+
+BF = [(f, g) for f, g in _glob("bf_n*_{gen}.sk")]
+
+
+@pytest.mark.parametrize("path,gen", BF,
+                         ids=[os.path.basename(p) for p, _ in BF])
+def test_bloom_filter_decode_and_query(path, gen):
+    """Query reference-built bloom filters from numpy: the Java-compatible
+    xxhash64(long, seed) + double-hashing index math must reproduce the
+    reference's bit positions EXACTLY — every inserted item (the vectors
+    insert longs 0..999 and more) tests positive (no false negatives,
+    cross-implementation), and a disjoint probe range stays within a
+    loose fpp envelope."""
+    from sparkdedup.sketch_io.bloom_decoder import decode_bloom_filter
+
+    img = decode_bloom_filter(open(path, "rb").read())
+    n = int(re.search(r"bf_n(\d+)_h(\d+)", os.path.basename(path)).group(1))
+    h = int(re.search(r"bf_n(\d+)_h(\d+)", os.path.basename(path)).group(2))
+    assert img.num_hashes == h
+    if n == 0:
+        assert img.is_empty
+        assert not img.query_longs(np.arange(100, dtype=np.int64)).any()
+        return
+    members = np.arange(1000, dtype=np.int64)
+    assert img.query_longs(members).all(), "false negative on inserted items"
+    far = np.arange(10_000_000, 10_002_000, dtype=np.int64)
+    assert img.query_longs(far).mean() < 0.05
