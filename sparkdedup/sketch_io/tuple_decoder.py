@@ -105,6 +105,62 @@ def decode_aod_sketch(data: bytes,
     return img, vals
 
 
+def decode_aos_sketch(data: bytes,
+                      expected_seed: int | None = 9001) -> tuple[
+                          TupleSketchImage, list[list[str]]]:
+    """Parse an ArrayOfStrings (aos) tuple sketch: the GENERIC compact
+    tuple layout (tuple/decoder.go:54-160) with a variable-length string
+    summary per entry — [u32 totalBytes, u8 numNodes, numNodes x
+    (u32 len + utf-8 bytes)] (tuple/arrayofstrings_sketch.go:78-160).
+
+    Returns (image with zero summaries, list of string-lists aligned with
+    entries)."""
+    if len(data) < 8:
+        raise ValueError("aos sketch too short")
+    pre, ver, family, _stype, _unused, flags = data[:6]
+    seed_hash = struct.unpack_from("<H", data, 6)[0]
+    if family != TUPLE_FAMILY:
+        raise ValueError(f"not a tuple sketch (family {family})")
+    is_empty = bool(flags & _FLAG_EMPTY)
+    is_ordered = bool(flags & _FLAG_ORDERED)
+    if not is_empty and expected_seed is not None:
+        want = compute_seed_hash(expected_seed)
+        if seed_hash != want:
+            raise ValueError(
+                f"seed hash mismatch: {seed_hash:#x} != {want:#x}")
+    pos = 8
+    theta = MAX_THETA
+    if is_empty or len(data) <= pos:
+        num = 0
+    elif pre == 1:
+        num = 1
+    else:
+        num = struct.unpack_from("<I", data, pos)[0]
+        pos += 8
+        if pre > 2:
+            theta = struct.unpack_from("<q", data, pos)[0]
+            pos += 8
+    hashes = np.empty(num, dtype=np.uint64)
+    values: list[list[str]] = []
+    for i in range(num):
+        hashes[i] = struct.unpack_from("<Q", data, pos)[0]
+        pos += 8
+        _total = struct.unpack_from("<I", data, pos)[0]
+        pos += 4
+        n_nodes = data[pos]
+        pos += 1
+        strs = []
+        for _ in range(n_nodes):
+            ln = struct.unpack_from("<I", data, pos)[0]
+            pos += 4
+            strs.append(data[pos: pos + ln].decode("utf-8"))
+            pos += ln
+        values.append(strs)
+    img = TupleSketchImage(hashes, np.zeros(num, np.int64), int(theta),
+                           seed_hash, is_empty, is_ordered)
+    return img, values
+
+
 def decode_tuple_sketch(data: bytes, expected_seed: int | None = 9001,
                         summary_bytes: int | None = None) -> TupleSketchImage:
     """Parse a compact tuple sketch with integer summaries.

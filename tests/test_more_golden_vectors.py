@@ -146,3 +146,43 @@ def test_bloom_filter_decode_and_query(path, gen):
     assert img.query_longs(members).all(), "false negative on inserted items"
     far = np.arange(10_000_000, 10_002_000, dtype=np.int64)
     assert img.query_longs(far).mean() < 0.05
+
+
+AOS = [(f, g) for f, g in _glob("aos_*_{gen}.sk")]
+
+
+@pytest.mark.parametrize("path,gen", AOS,
+                         ids=[os.path.basename(p) for p, _ in AOS])
+def test_aos_decode(path, gen):
+    """ArrayOfStrings tuple sketches (generic tuple layout + variable
+    string summaries, tuple/arrayofstrings_sketch.go:78-160): every vector
+    decodes — incl. unicode and empty-string summaries — with distinct
+    in-theta hashes, value count matching the summary width, and estimates
+    within the k=4096 envelope for the n-parameterized vectors."""
+    from sparkdedup.sketch_io.tuple_decoder import decode_aos_sketch
+
+    img, vals = decode_aos_sketch(open(path, "rb").read())
+    assert len(vals) == img.num_retained
+    base = os.path.basename(path)
+    m = re.search(r"aos_(\d)_n(\d+)_", base)
+    if img.num_retained:
+        assert np.all(img.entries < np.uint64(img.theta))
+        assert len(np.unique(img.entries)) == img.num_retained
+        assert all(isinstance(s, str) for v in vals for s in v)
+    if m:
+        nv, n = int(m.group(1)), int(m.group(2))
+        assert all(len(v) == nv for v in vals)
+        if n == 0:
+            assert img.num_retained == 0
+        else:
+            est = img.estimate()
+            assert abs(est - n) <= max(2, 0.05 * n)
+            if img.theta_frac == 1.0:
+                # exact regime: summaries are exactly the inserted keys
+                firsts = sorted(v[0] for v in vals)
+                pref = "value" if nv == 1 else "a"
+                want = sorted(f"{pref}{i}" for i in range(n))
+                assert firsts == want
+    if "unicode" in base:
+        flat = {s for v in vals for s in v}
+        assert any(ord(ch) > 127 for s in flat for ch in s)
