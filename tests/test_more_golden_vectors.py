@@ -186,3 +186,29 @@ def test_aos_decode(path, gen):
     if "unicode" in base:
         flat = {s for v in vals for s in v}
         assert any(ord(ch) > 127 for s in flat for ch in s)
+
+
+TD = [(f, g, int(re.search(r"_n(\d+)_", os.path.basename(f)).group(1)))
+      for f, g in _glob("tdigest_double*_n*_{gen}.sk")]
+
+
+@pytest.mark.parametrize("path,gen,n", TD,
+                         ids=[os.path.basename(p) for p, _, _ in TD])
+def test_tdigest_double_decode(path, gen, n):
+    """t-digest (double) wire format (tdigest/double_decoder.go:46-170),
+    incl. the with-buffer variants: centroid weights + buffered values
+    reconstruct n EXACTLY, min/max are exact, and cumulative-weight
+    quantiles track the 1..n uniform distribution within the k=100
+    digest's mid-range resolution."""
+    from sparkdedup.sketch_io.tdigest_decoder import decode_tdigest_double
+
+    img = decode_tdigest_double(open(path, "rb").read())
+    assert img.total_weight == n
+    if n == 0:
+        assert len(img.means) == 0 and len(img.buffered) == 0
+        return
+    assert img.min_item == 1.0 and img.max_item == float(n)
+    assert np.all(np.diff(img.means) >= 0)  # centroids ascending
+    for q in (0.25, 0.5, 0.75):
+        got = img.quantile(q)
+        assert abs(got - q * n) <= max(1.0, 0.10 * n), (q, got)
