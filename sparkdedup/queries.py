@@ -29,6 +29,20 @@ def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _fan_out(df: DataFrame, spark: SparkSession) -> DataFrame:
+    """Repartition ONLY when the scan has fewer splits than cores.
+
+    A single-file/single-row-group parquet input reads as ONE partition
+    (NOTES.md gotcha), which serializes every downstream per-doc kernel.
+    On a properly laid-out table (many files / row groups) this is a
+    no-op — the plan keeps the scan's natural splits and no shuffle is
+    added."""
+    dp = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < dp:
+        return df.repartition(dp)
+    return df
+
+
 # --------------------------------------------------------------------------
 # dedup family
 # --------------------------------------------------------------------------
@@ -103,7 +117,7 @@ def _word_gram_inv(spark, sf_dir) -> DataFrame:
                 "doc_id": pdf["doc_id"].to_numpy()[seg],
                 "gh": gh.astype(np.int64)})
 
-    return (docs.select("doc_id", "text")
+    return (_fan_out(docs.select("doc_id", "text"), spark)
             .mapInPandas(gram_kernel, schema="doc_id long, gh long"))
 
 
@@ -229,7 +243,7 @@ def q_substr_containment_docs(spark, sf_dir):
     # re-joined for verification, never shuffled with the index
     from sparkdedup.operators.containment import winnowed_gram_index
 
-    docs_b = _read(spark, sf_dir, "documents")
+    docs_b = _fan_out(_read(spark, sf_dir, "documents"), spark)
     sel = winnowed_gram_index(docs_b, "doc_id", "text", ANCH, W) \
         .withColumnRenamed("doc_id", "dst")
 
@@ -285,7 +299,7 @@ def q_minhash_lsh_docs(spark, sf_dir):
         F.col("doc_id").cast("string").alias("path"),
         F.lit("0").alias("commit"),
         F.col("lang"), F.col("text").alias("content"))
-    sigs = signature_stage(files, cfg)
+    sigs = signature_stage(_fan_out(files, spark), cfg)
     sigs = sigs.withColumn("orig_id", F.col("path").cast("long"))
     # remap murmur3 file_id -> doc_id for readable output
     idmap = sigs.select("file_id", "orig_id")
@@ -964,7 +978,7 @@ def q_simhash_near_docs(spark, sf_dir):
     60 per-bit weighted sums in ONE groupBy (no bit explode, no UDF)."""
     from sparkdedup.operators.simhash_index import simhash_near_pairs
 
-    docs = _read(spark, sf_dir, "documents")
+    docs = _fan_out(_read(spark, sf_dir, "documents"), spark)
     toks = (docs.select(
         "doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("tok"))
         .groupBy("doc_id", "tok").agg(F.count("*").alias("w")))
