@@ -974,26 +974,54 @@ def q_simhash_near_docs(spark, sf_dir):
     token hashes — functionally identical to the pipeline's murmur3
     SimHash (functions/simhash.py) but reproducible in ANSI SQL, which
     lets DuckDB recompute the signatures and brute-force the pairs as the
-    oracle. Everything is JVM column expressions: md5 -> conv(hex) ->
-    60 per-bit weighted sums in ONE groupBy (no bit explode, no UDF)."""
+    oracle. Computed in a numpy kernel (hashlib md5 == the SQL md5; one
+    pass per doc, no explode-groupBy shuffle) — the equivalent 60-agg JVM
+    plan paid ~4s of fixed codegen compile and the nested-HOF
+    alternatives hit the Spark 4.1 self-join codegen bug."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
     from sparkdedup.operators.simhash_index import simhash_near_pairs
 
     docs = _fan_out(_read(spark, sf_dir, "documents"), spark)
-    toks = (docs.select(
-        "doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("tok"))
-        .groupBy("doc_id", "tok").agg(F.count("*").alias("w")))
-    h = F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long")
-    hdf = toks.select("doc_id", "w", h.alias("h"))
-    # one aggregation: s_j = sum over tokens of (+w if bit j set else -w)
-    aggs = [F.sum(F.when(F.expr(f"((h >> {j}) & 1) = 1"), F.col("w"))
-                  .otherwise(-F.col("w"))).alias(f"s{j}")
-            for j in range(60)]
-    sums = hdf.groupBy("doc_id").agg(*aggs)
-    sig = sums.select(
-        "doc_id",
-        sum([F.when(F.col(f"s{j}") > 0, F.lit(1 << j).cast("long"))
-             .otherwise(F.lit(0).cast("long")) for j in range(60)],
-            start=F.lit(0).cast("long")).alias("simhash"))
+
+    def sim_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+        import re as _re
+        split = _re.compile(r"\s+", _re.ASCII).split  # Java/RE2 \s parity
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids, sigs = [], []
+            md5_cache: dict[str, int] = {}
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                # trim() in Spark/DuckDB strips SPACES only — mirror that,
+                # and keep split's leading/trailing empty tokens
+                t = (text or "").strip(" ")
+                words = split(t) if t else [""]  # SQL split('') -> ['']
+                uniq, inv = np.unique(np.array(words, dtype=object),
+                                      return_inverse=True)
+                w = np.bincount(inv).astype(np.int64)
+                hs = np.empty(len(uniq), dtype=np.int64)
+                for i, u in enumerate(uniq):
+                    v = md5_cache.get(u)
+                    if v is None:
+                        v = int(hashlib.md5(
+                            u.encode("utf-8")).hexdigest()[:15], 16)
+                        md5_cache[u] = v
+                    hs[i] = v
+                bits = (hs[:, None] >> np.arange(60)) & 1      # (v, 60)
+                s = ((2 * bits - 1) * w[:, None]).sum(axis=0)  # (60,)
+                sig = int(((s > 0).astype(np.int64)
+                           << np.arange(60)).sum())
+                ids.append(doc_id)
+                sigs.append(sig)
+            yield pd.DataFrame({"doc_id": ids, "simhash": sigs})
+
+    sig = docs.select("doc_id", "text").mapInPandas(
+        sim_kernel, schema="doc_id long, simhash long")
     pairs = simhash_near_pairs(sig, max_hamming=4, id_col="doc_id")
     return pairs.select("src", "dst", F.col("hamming").cast("long"))
 
