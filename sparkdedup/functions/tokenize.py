@@ -284,10 +284,13 @@ def word_gram_hashes_batch(texts: pd.Series, n: int,
         return np.empty(0, U64), np.empty(0, np.int64)
     flat = np.frombuffer(b"\n".join(enc), dtype=np.uint8)
     doc_starts = np.cumsum(lens + 1) - (lens + 1)
-    # whitespace per the \s+ contract: match python/Java/RE2 ASCII space
-    # classes; non-ASCII bytes are word bytes (utf-8 sequences never
-    # contain ASCII space bytes, so byte-level spans are codepoint-safe)
-    is_space = np.isin(flat, np.frombuffer(b" \t\n\r\x0b\x0c", np.uint8))
+    # whitespace = RE2's \s class [ \t\n\f\r] exactly (the DuckDB oracle's
+    # string_split_regex semantics). NOTE: python's ASCII \s ALSO matches
+    # \x0b (vertical tab) — deliberately excluded here so a \v-bearing
+    # document tokenizes identically in both engines (parity-tested).
+    # Non-ASCII bytes are word bytes (utf-8 continuation bytes never
+    # collide with ASCII space bytes, so byte-level spans are codepoint-safe)
+    is_space = np.isin(flat, np.frombuffer(b" \t\n\r\x0c", np.uint8))
     is_word = ~is_space
     ws = np.flatnonzero(is_word[1:] & ~is_word[:-1]) + 1
     if is_word[0]:

@@ -34,28 +34,8 @@ _POLICIES = {
 }
 
 
-def _partial_tuple(keys: pd.Series, payload: np.ndarray, k: int, seed: int):
-    """(entries sorted, payload-aligned, theta) for one group's batch rows."""
-    codes, uniques = pd.factorize(keys.astype(str))
-    h1, _ = murmur3_128_bytes([u.encode("utf-8") for u in uniques], seed)
-    hu = h1 >> U64(1)
-    # aggregate payload per distinct key (sum within batch = update policy)
-    sums = np.zeros(len(uniques), dtype=np.float64)
-    np.add.at(sums, codes, payload)
-    keep = hu != U64(0)
-    hu, sums = hu[keep], sums[keep]
-    order = np.argsort(hu)
-    hu, sums = hu[order], sums[order]
-    if len(hu) > k:
-        theta = int(hu[k])
-        hu, sums = hu[:k], sums[:k]
-    else:
-        theta = MAX_THETA
-    return hu, sums, theta
-
-
 def _update_batch(groups: pd.Series, keys: pd.Series, payload: np.ndarray,
-                  k: int, seed: int):
+                  k: int, seed: int, policy: str = "sum"):
     """Partial tuple sketches for EVERY group in one batch, fully
     vectorized: one factorize + one murmur pass over the whole batch, one
     lexsort by (group, hash), run-length payload reduction — per-group
@@ -71,12 +51,15 @@ def _update_batch(groups: pd.Series, keys: pd.Series, payload: np.ndarray,
     h, g, p = hu_all[keep], gcodes[keep], payload[keep]
     order = np.lexsort((h, g))
     hs, gs, ps = h[order], g[order], p[order]
-    # payload sum per (group, hash) run — the in-batch update aggregation
+    # combine payload per (group, hash) run — the in-batch update
+    # aggregation uses the POLICY ufunc (in-batch key repeats under
+    # 'min'/'max' must min/max-combine, not sum — only reachable with
+    # pre_aggregate=False, where raw rows hit the kernel)
     new_run = np.r_[True, (gs[1:] != gs[:-1]) | (hs[1:] != hs[:-1])] \
         if len(gs) else np.empty(0, bool)
     run_starts = np.flatnonzero(new_run)
-    sums = np.add.reduceat(ps, run_starts) if len(run_starts) else \
-        np.empty(0, np.float64)
+    sums = _POLICIES[policy].reduceat(ps, run_starts) if len(run_starts) \
+        else np.empty(0, np.float64)
     uh, ug = hs[run_starts], gs[run_starts]
     g_starts = np.flatnonzero(np.r_[True, ug[1:] != ug[:-1]]) \
         if len(ug) else np.empty(0, np.int64)
@@ -157,7 +140,7 @@ def tuple_sketch_agg(df: DataFrame, group_col: str, key_col: str,
                 continue
             payload = pdf[payload_col].astype(float).to_numpy()
             out = list(_update_batch(pdf[group_col], pdf[key_col],
-                                     payload, k, seed))
+                                     payload, k, seed, policy))
             yield pd.DataFrame(out, columns=[group_col, "entries",
                                              "payloads", "theta"])
 

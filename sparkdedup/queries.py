@@ -183,6 +183,10 @@ def q_ngram_jaccard_pairs(spark, sf_dir):
     )
 
 
+# the oracle applies the SAME df <= 64 posting cap as the Spark plan
+# (sizes AND intersection over "cold" grams only), so the two compute the
+# identical "similarity over distinctive grams" quantity at ANY scale —
+# at this data scale the cap is dormant (max df << 64, asserted in tests)
 SQL_NGRAM_JACCARD_PAIRS = """
 WITH words AS (
   SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents
@@ -192,21 +196,25 @@ WITH words AS (
            range(1, len(w) - 2 + 1),
            i -> array_to_string(w[i:i+2], ' '))) AS g
   FROM words WHERE len(w) >= 3
-), sized AS (
-  SELECT doc_id, g, len(g) AS n FROM grams
 ), inv AS (
-  SELECT doc_id, unnest(g) AS gram FROM sized
+  SELECT doc_id, unnest(g) AS gram FROM grams
+), dfc AS (
+  SELECT gram FROM inv GROUP BY 1 HAVING count(*) <= 64
+), cold AS (
+  SELECT i.doc_id, i.gram FROM inv i JOIN dfc USING (gram)
+), sizes AS (
+  SELECT doc_id, count(*) AS n FROM cold GROUP BY 1
 ), inter AS (
   SELECT a.doc_id AS src, b.doc_id AS dst, count(*) AS inter
-  FROM inv a JOIN inv b USING (gram)
+  FROM cold a JOIN cold b USING (gram)
   WHERE a.doc_id < b.doc_id
   GROUP BY 1, 2
 )
 SELECT src, dst,
        round(inter * 1.0 / (na.n + nb.n - inter), 6) AS jaccard
 FROM inter
-JOIN sized na ON na.doc_id = src
-JOIN sized nb ON nb.doc_id = dst
+JOIN sizes na ON na.doc_id = src
+JOIN sizes nb ON nb.doc_id = dst
 WHERE round(inter * 1.0 / (na.n + nb.n - inter), 6) >= 0.2
 """
 
@@ -414,7 +422,7 @@ def q_token_count_docs(spark, sf_dir):
     return docs.select(
         "doc_id",
         F.when(F.length(F.trim("text")) == 0, F.lit(0))
-         .otherwise(F.size(F.split(F.trim("text"), r"\s+")))
+         .otherwise(F.size(F.split(F.trim("text"), r"[ \t\n\f\r]+")))
          .cast("long").alias("n_tokens"),
         F.size(F.regexp_extract_all("text", F.lit(_BPE_PAT), F.lit(0)))
          .cast("long").alias("n_tokens_bpe"),
@@ -438,7 +446,7 @@ def q_quality_score_docs(spark, sf_dir):
     """Heuristic quality metrics: length, mean token length, stopword
     ratio, digit ratio — the usual pre-training corpus filters."""
     docs = _read(spark, sf_dir, "documents")
-    toks = F.split(F.trim("text"), r"\s+")
+    toks = F.split(F.trim("text"), r"[ \t\n\f\r]+")
     n_tok = F.size(toks)
     stop = F.size(F.filter(toks, lambda t: t.isin(
         "the", "a", "of", "and", "in", "to", "is")))
@@ -476,7 +484,7 @@ FROM t
 def q_lang_id_docs(spark, sf_dir):
     """Deterministic marker-based language-ID heuristic + accuracy flag."""
     docs = _read(spark, sf_dir, "documents")
-    toks = F.split(F.trim("text"), r"\s+")
+    toks = F.split(F.trim("text"), r"[ \t\n\f\r]+")
     cnt = lambda *ws: F.size(F.filter(toks, lambda t: t.isin(*ws)))  # noqa: E731
     pred = (
         F.when(cnt("der", "die", "das", "und") > 0, "de")
@@ -513,7 +521,7 @@ def q_doc_fingerprint(spark, sf_dir):
     """Order-insensitive document fingerprint: md5 over the sorted distinct
     3-gram set (cheap dedup key robust to shuffled lines)."""
     docs = _read(spark, sf_dir, "documents")
-    w = F.split(F.trim("text"), r"\s+")
+    w = F.split(F.trim("text"), r"[ \t\n\f\r]+")
     grams = F.transform(
         F.sequence(F.lit(1), F.greatest(F.size(w) - 2, F.lit(1))),
         lambda i: F.concat_ws(" ", F.slice(w, i, 3)))
@@ -544,7 +552,7 @@ def q_freq_top_terms(spark, sf_dir):
     collapses to exact at verification scale): top 20 tokens."""
     docs = _read(spark, sf_dir, "documents")
     return (
-        docs.select(F.explode(F.split(F.trim("text"), r"\s+")).alias("term"))
+        docs.select(F.explode(F.split(F.trim("text"), r"[ \t\n\f\r]+")).alias("term"))
         .groupBy("term").agg(F.count("*").alias("cnt"))
         .orderBy(F.desc("cnt"), F.asc("term")).limit(20)
     )
@@ -851,7 +859,7 @@ def q_kmv_distinct_tokens(spark, sf_dir):
 
     docs = _read(spark, sf_dir, "documents")
     toks = docs.select(
-        "source", F.split(F.trim("text"), r"\s+").alias("token"))
+        "source", F.split(F.trim("text"), r"[ \t\n\f\r]+").alias("token"))
     return kmv_distinct_agg(toks, "source", "token", k=256,
                             values_are_arrays=True)
 
@@ -990,7 +998,9 @@ def q_simhash_near_docs(spark, sf_dir):
     def sim_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
         import re as _re
-        split = _re.compile(r"\s+", _re.ASCII).split  # Java/RE2 \s parity
+        # RE2's \s is [ \t\n\f\r] — python's ASCII \s also matches \x0b,
+        # so spell the class out for exact DuckDB split parity (\v-tested)
+        split = _re.compile(r"[ \t\n\f\r]+").split
         for pdf in batches:
             if not len(pdf):
                 continue

@@ -88,8 +88,14 @@ def decode_kll_sketch(data: bytes, item_type: str = "float") -> KllSketchImage:
         return KllSketchImage(
             k, m, 1, k, 1, float(item), float(item),
             np.array([item], dtype=np.dtype(dt)), np.ones(1, np.int64))
-    if ser_ver not in (1, 3):
-        raise ValueError(f"unsupported serial version {ser_ver}")
+    # serVer 1 = full compact; serVer 2 is implied by the single-item flag
+    # (handled above). serVer 3 is the UPDATABLE layout (preInts=5, a
+    # levels array of numLevels+1 entries, full-capacity item buffer with
+    # free space) — parsing it with the compact layout would silently
+    # yield garbage min/max/items, so reject it explicitly.
+    if ser_ver != 1:
+        raise ValueError(f"unsupported serial version {ser_ver} "
+                         "(only compact layouts are decoded)")
     n = struct.unpack_from("<Q", data, 8)[0]
     min_k = struct.unpack_from("<H", data, 16)[0]
     num_levels = data[18]

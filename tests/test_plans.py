@@ -98,8 +98,10 @@ def test_tuple_pre_aggregation_in_plan(spark):
     py_idx = plan.find("MapInPandas")
     agg_idx = plan.find("HashAggregate")
     assert py_idx != -1 and agg_idx != -1
-    # the pre-agg HashAggregate appears below (later in the tree string
-    # than) the python kernel operator
+    # the pre-agg HashAggregate must appear BELOW the python kernel in the
+    # plan tree — formatted plans print parents first, so "below" = a
+    # later string offset than the MapInPandas operator
+    assert agg_idx > py_idx, "pre-agg must run before the python kernel"
     assert "partial_sum" in plan or "partial_count" in plan
 
 

@@ -146,7 +146,7 @@ def test_tokenizer_ascii_path_matches_regex(texts):
 
 
 @given(st.lists(st.text(
-    alphabet=st.sampled_from(list("ab \t\n\x00é9")),
+    alphabet=st.sampled_from(list("ab \t\n\x0b\x0c\x00é9")),
     min_size=0, max_size=80), min_size=1, max_size=8))
 @settings(max_examples=150, deadline=None)
 def test_word_gram_hashes_match_string_grams(texts):
@@ -154,7 +154,11 @@ def test_word_gram_hashes_match_string_grams(texts):
     string-gram identity: per-doc distinct counts AND pairwise
     intersection sizes (the quantities the jaccard query consumes) equal
     the pure-python string computation — including NUL bytes in words
-    (the packed-word dedup fast path must detect and bypass them)."""
+    (the packed-word dedup fast path must detect and bypass them) and
+    \\x0b vertical tabs (a WORD byte under RE2's \\s, unlike python's,
+    so the reference split here is the explicit RE2 class)."""
+    import re
+
     import pandas as pd
 
     from sparkdedup.functions.tokenize import word_gram_hashes_batch
@@ -166,7 +170,7 @@ def test_word_gram_hashes_match_string_grams(texts):
 
     want = {}
     for d, t in enumerate(texts):
-        ws = t.split()
+        ws = [w for w in re.split("[ \t\n\f\r]+", t) if w]
         if len(ws) >= 3:
             want[d] = {" ".join(ws[i:i + 3]) for i in range(len(ws) - 2)}
     assert set(got) == set(want)

@@ -201,7 +201,7 @@ def test_kmv_distinct_agg_accuracy(spark):
 
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     toks = docs.select(
-        "source", F.explode(F.split(F.trim("text"), r"\s+")).alias("token"))
+        "source", F.explode(F.split(F.trim("text"), r"[ \t\n\f\r]+")).alias("token"))
     est = kmv_distinct_agg(toks.repartition(8), "source", "token",
                            k=256).toPandas()
     exact = (toks.groupBy("source")
