@@ -36,7 +36,8 @@ MEDIA_SCHEMA = (
 FEATURE_SCHEMA = (
     "media_id long, kind string, n_bytes long, sniffed_format string, "
     "content_hash string, codec string, width int, height int, "
-    "sample_rate int, duration double, feature array<float>"
+    "sample_rate int, n_samples long, duration double, "
+    "decoded_md5 string, feature array<float>"
 )
 
 _MAGIC = {
@@ -64,25 +65,37 @@ def _decode_stub(payload: bytes, kind: str, dim: int = 16) -> np.ndarray:
 
 
 def _decode_one(payload: bytes, kind: str, fmt: str, dim: int):
-    """-> (codec, width, height, sample_rate, duration, feature[dim])."""
+    """-> (codec, width, height, sample_rate, n_samples, duration,
+    decoded_md5, feature[dim]).
+
+    decoded_md5 hashes the RAW DECODED byte stream (pixel bytes in
+    row-major RGB order / PCM16 little-endian sample bytes) — the
+    container-independent content identity: the same pixels in a BMP and
+    a PNG hash equal, and an encode->decode round trip reproduces the
+    source bytes' md5 exactly (the driver-visible correctness gate)."""
     try:
         if fmt == "bmp":
             px = decode_bmp(payload)
             f = image_features(px)
-            return ("bmp", px.shape[1], px.shape[0], 0, 0.0, f)
+            md5 = hashlib.md5(np.ascontiguousarray(px).tobytes()).hexdigest()
+            return ("bmp", px.shape[1], px.shape[0], 0, 0, 0.0, md5, f)
         if fmt == "png":
             px = decode_png(payload)
             f = image_features(px)
-            return ("png", px.shape[1], px.shape[0], 0, 0.0, f)
+            md5 = hashlib.md5(np.ascontiguousarray(px).tobytes()).hexdigest()
+            return ("png", px.shape[1], px.shape[0], 0, 0, 0.0, md5, f)
         if fmt == "riff/wav":
             samples, rate = decode_wav(payload)
             f = audio_features(samples, rate)
-            return ("wav", 0, 0, rate, len(samples) / rate if rate else 0.0, f)
+            md5 = hashlib.md5(samples.astype("<i2").tobytes()).hexdigest()
+            return ("wav", 0, 0, rate, len(samples),
+                    len(samples) / rate if rate else 0.0, md5, f)
     except (ValueError, struct.error, zlib.error, IndexError):
         # corrupt/truncated payload claiming a decodable magic: never fail
         # the batch — tag it and fall through to the deterministic stub
-        return ("corrupt", 0, 0, 0, 0.0, _decode_stub(payload, kind, dim))
-    return ("stub", 0, 0, 0, 0.0, _decode_stub(payload, kind, dim))
+        return ("corrupt", 0, 0, 0, 0, 0.0, "",
+                _decode_stub(payload, kind, dim))
+    return ("stub", 0, 0, 0, 0, 0.0, "", _decode_stub(payload, kind, dim))
 
 
 def _fit(vec: np.ndarray, dim: int) -> np.ndarray:
@@ -115,11 +128,63 @@ def extract_media_features(media: DataFrame, dim: int = 16) -> DataFrame:
                 "width": np.array([d[1] for d in decoded], np.int32),
                 "height": np.array([d[2] for d in decoded], np.int32),
                 "sample_rate": np.array([d[3] for d in decoded], np.int32),
-                "duration": np.array([d[4] for d in decoded], np.float64),
-                "feature": [_fit(d[5], dim) for d in decoded],
+                "n_samples": np.array([d[4] for d in decoded], np.int64),
+                "duration": np.array([d[5] for d in decoded], np.float64),
+                "decoded_md5": [d[6] for d in decoded],
+                "feature": [_fit(d[7], dim) for d in decoded],
             })
 
     return media.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+def encode_media_from_text(docs: DataFrame, width: int = 16,
+                           sample_rate: int = 16000) -> DataFrame:
+    """Deterministic media table built in-Spark from document text bytes:
+    per document one BMP row (utf-8 bytes as 24-bit pixels, fixed-width
+    rows, 0x20-padded to a whole pixel grid) and one WAV row (the bytes as
+    PCM16 little-endian samples, 0x20-padded to a whole sample).
+
+    Purpose: the sf dirs ship no media table, so this synthesizes one whose
+    decode round trip is SQL-predictable — payload sizes and image/audio
+    dims are pure arithmetic over octet_length(text), and the decoded byte
+    stream is exactly text || padding, so decoded_md5 must equal
+    md5(text || repeat(' ', pad)). One mapInPandas pass; payloads are born
+    and consumed inside the scan lineage (never shuffled).
+
+    width=16 keeps BMP rows 4-byte aligned (16*3 = 48 % 4 == 0): no BMP
+    row padding, so the pixel stream is contiguous text bytes."""
+    assert (width * 3) % 4 == 0, "width must keep BMP rows 4-byte aligned"
+    from sparkdedup.functions.media_codecs import encode_bmp, encode_wav
+
+    row_bytes = width * 3
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids, kinds, payloads, fmts = [], [], [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                raw = (text or "").encode("utf-8")
+                n = len(raw)
+                h = max(1, -(-n // row_bytes))
+                px = np.frombuffer(raw.ljust(h * row_bytes, b" "),
+                                   np.uint8).reshape(h, width, 3)
+                ids.append(doc_id)
+                kinds.append("image")
+                payloads.append(encode_bmp(px))
+                fmts.append("bmp")
+                ns = (n + 1) // 2
+                smp = np.frombuffer(raw.ljust(ns * 2, b" "), "<i2")
+                ids.append(doc_id)
+                kinds.append("audio")
+                payloads.append(encode_wav(smp, sample_rate))
+                fmts.append("wav")
+            yield pd.DataFrame({"media_id": ids, "kind": kinds,
+                                "payload": payloads,
+                                "declared_format": fmts})
+
+    return (docs.select("doc_id", "text")
+            .mapInPandas(run, schema=MEDIA_SCHEMA))
 
 
 def exact_media_dedup(features: DataFrame) -> DataFrame:

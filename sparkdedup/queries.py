@@ -30,15 +30,24 @@ def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _fan_out(df: DataFrame, spark: SparkSession) -> DataFrame:
-    """Repartition ONLY when the scan has fewer splits than cores.
+    """Repartition ONLY when the scan has fewer input files than cores.
 
     A single-file/single-row-group parquet input reads as ONE partition
     (NOTES.md gotcha), which serializes every downstream per-doc kernel.
-    On a properly laid-out table (many files / row groups) this is a
-    no-op — the plan keeps the scan's natural splits and no shuffle is
-    added."""
+    On a properly laid-out table (more files than cores) this is a no-op —
+    the plan keeps the scan's natural splits and no shuffle is added.
+
+    The signal is len(df.inputFiles()) — pure scan metadata, no job. The
+    old df.rdd.getNumPartitions() probe built the whole DataFrame->RDD
+    conversion per call just to count splits. Trade-off: a few huge
+    multi-row-group files would repartition unnecessarily (harmless — the
+    exchange is one narrow round-robin of already-split data)."""
     dp = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < dp:
+    try:
+        n_files = len(df.inputFiles())
+    except Exception:
+        n_files = 0  # non-file source: assume it needs the fan-out
+    if n_files < dp:
         return df.repartition(dp)
     return df
 
@@ -1064,6 +1073,58 @@ WHERE a.doc_id < b.doc_id AND bit_count(xor(a.sig, b.sig)) <= 4
 
 
 
+def q_media_features(spark, sf_dir):
+    """Multimodal decode as a driver-checkable round trip: build a media
+    table in-Spark (per document, a real BMP image and a real WAV clip of
+    its text bytes — operators/multimodal.py::encode_media_from_text), run
+    the REAL container decode + feature extraction (decode_bmp/decode_wav
+    in functions/media_codecs.py via extract_media_features), and emit the
+    scalar features whose values the oracle recomputes as pure SQL
+    arithmetic over octet_length(text) — plus decoded_md5, the md5 of the
+    raw decoded byte stream, which must equal md5(text || padding): the
+    full encode -> container parse -> pixel/sample array -> bytes round
+    trip is hash-gated, not just the plumbing.
+
+    Scale shape: payloads are born and consumed inside one scan lineage
+    (mapInPandas -> mapInPandas, no payload shuffle); only skinny scalar
+    columns leave the kernel."""
+    from sparkdedup.operators.multimodal import (encode_media_from_text,
+                                                 extract_media_features)
+
+    docs = _fan_out(_read(spark, sf_dir, "documents"), spark)
+    media = encode_media_from_text(docs)
+    feats = extract_media_features(media)
+    return feats.select(
+        "media_id", "kind", "codec", "n_bytes",
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        F.col("sample_rate").cast("long").alias("sample_rate"),
+        "n_samples", "decoded_md5")
+
+
+SQL_MEDIA_FEATURES = """
+WITH b AS (
+  SELECT doc_id, octet_length(encode(text)) AS n, text FROM documents
+)
+SELECT doc_id AS media_id, 'image' AS kind, 'bmp' AS codec,
+       54 + 48 * greatest(1, (n + 47) // 48) AS n_bytes,
+       CAST(16 AS BIGINT) AS width,
+       greatest(1, (n + 47) // 48) AS height,
+       CAST(0 AS BIGINT) AS sample_rate,
+       CAST(0 AS BIGINT) AS n_samples,
+       md5(text || repeat(' ',
+           CAST(48 * greatest(1, (n + 47) // 48) - n AS INT))) AS decoded_md5
+FROM b
+UNION ALL
+SELECT doc_id, 'audio', 'wav',
+       44 + 2 * ((n + 1) // 2),
+       CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(16000 AS BIGINT),
+       (n + 1) // 2,
+       md5(text || repeat(' ', CAST(2 * ((n + 1) // 2) - n AS INT)))
+FROM b
+"""
+
+
 def q_pivot_status(spark, sf_dir):
     """Pivot: order counts + quantity by linestatus columns per returnflag."""
     li = _read(spark, sf_dir, "lineitem")
@@ -1341,6 +1402,7 @@ QUERIES = {
     "kll_hist_prices": q_kll_hist_prices,
     "hll_union_users": q_hll_union_users,
     "neardup_clusters_docs": q_neardup_clusters_docs,
+    "media_features": q_media_features,
 }
 
 ORACLES = {
@@ -1378,6 +1440,7 @@ ORACLES = {
     "anotb_customers": SQL_ANOTB_CUSTOMERS,
     "kll_hist_prices": SQL_KLL_HIST_PRICES,
     "neardup_clusters_docs": SQL_NEARDUP_CLUSTERS_DOCS,
+    "media_features": SQL_MEDIA_FEATURES,
     # hll_distinct_users / hll_union_users: deliberately rows-only — the
     # HLL estimate is approximate by construction and Spark's DataSketches
     # HLL binary is not ANSI-SQL-expressible; accuracy + binary compat are

@@ -84,6 +84,61 @@ def test_feature_extraction_real_decode(spark, media):
     assert list(by_id.loc[1, "feature"]) == list(by_id.loc[5, "feature"])
 
 
+def test_decoded_md5_is_container_independent(spark, media):
+    """decoded_md5 hashes the decoded content, not the container: the PNG
+    and BMP of the same pixels hash equal, and both equal md5(pixel
+    bytes); the WAV hashes to md5(PCM16-LE sample bytes); stub/corrupt
+    rows emit an empty hash."""
+    import hashlib
+
+    from sparkdedup.operators.multimodal import extract_media_features
+
+    p = _fixture_payloads()
+    feats = extract_media_features(media).toPandas().set_index("media_id")
+    want_img = hashlib.md5(p["img"].tobytes()).hexdigest()
+    want_wav = hashlib.md5(p["samples"].astype("<i2").tobytes()).hexdigest()
+    assert feats.loc[1, "decoded_md5"] == want_img  # png
+    assert feats.loc[7, "decoded_md5"] == want_img  # bmp, same pixels
+    assert feats.loc[3, "decoded_md5"] == want_wav
+    assert feats.loc[3, "n_samples"] == len(p["samples"])
+    assert feats.loc[2, "decoded_md5"] == ""   # stub
+    assert feats.loc[8, "decoded_md5"] == ""   # corrupt
+
+
+def test_encode_media_from_text_roundtrip(spark):
+    """The in-Spark media builder + real decode reproduce the source text
+    bytes exactly: decoded_md5 == md5(text || space padding) for both the
+    BMP and the WAV row, with the SQL-predictable geometry."""
+    import hashlib
+
+    from sparkdedup.operators.multimodal import (encode_media_from_text,
+                                                 extract_media_features)
+
+    texts = ["hello media world", "x" * 95, "a", "padded  text\twith\nws"]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    feats = (extract_media_features(encode_media_from_text(docs))
+             .toPandas().set_index(["media_id", "kind"]).sort_index())
+    assert len(feats) == 2 * len(texts)
+    for i, t in enumerate(texts):
+        raw = t.encode("utf-8")
+        n = len(raw)
+        h = max(1, -(-n // 48))
+        img = feats.loc[(i, "image")]
+        assert img["codec"] == "bmp"
+        assert (img["width"], img["height"]) == (16, h)
+        assert img["n_bytes"] == 54 + 48 * h
+        assert img["decoded_md5"] == hashlib.md5(
+            raw.ljust(48 * h, b" ")).hexdigest()
+        ns = (n + 1) // 2
+        aud = feats.loc[(i, "audio")]
+        assert aud["codec"] == "wav"
+        assert aud["n_bytes"] == 44 + 2 * ns
+        assert (aud["sample_rate"], aud["n_samples"]) == (16000, ns)
+        assert aud["decoded_md5"] == hashlib.md5(
+            raw.ljust(2 * ns, b" ")).hexdigest()
+
+
 def test_exact_media_dedup(spark, media):
     from sparkdedup.operators.multimodal import (exact_media_dedup,
                                                  extract_media_features)
