@@ -52,16 +52,15 @@ def hyperplane_buckets(emb: DataFrame, dim: int, n_tables: int = 8,
     return emb.mapInPandas(run, schema="vid long, table int, bucket long")
 
 
-def ann_lsh_topk(emb: DataFrame, k: int = 5, n_tables: int = 8,
+def ann_lsh_topk(emb: DataFrame, dim: int, k: int = 5, n_tables: int = 8,
                  n_bits: int = 10, seed: int = 9001,
-                 round_to: int = 4, dim: int | None = None) -> DataFrame:
+                 round_to: int = 4) -> DataFrame:
     """Approximate top-k cosine neighbors for every vector via bucketed
     candidate generation + exact rerank. Returns (qid, nid, cosine, rank).
 
-    Pass `dim` to avoid the schema-probe job (a driver-side .first() would
-    trigger a scan before the real plan)."""
-    if dim is None:
-        dim = len(emb.select("embedding").first()[0])
+    `dim` is REQUIRED: ArrayType carries no element count in the schema,
+    and a driver-side .first() probe would trigger a full scan job before
+    the real plan — the caller always knows its embedding width."""
     buckets = hyperplane_buckets(emb, dim, n_tables, n_bits, seed)
     a = buckets.select("table", "bucket", F.col("vid").alias("qid"))
     b = buckets.select("table", "bucket", F.col("vid").alias("nid"))
@@ -71,6 +70,49 @@ def ann_lsh_topk(emb: DataFrame, k: int = 5, n_tables: int = 8,
 
     e1 = emb.select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qv"))
     e2 = emb.select(F.col("vec_id").alias("nid"), F.col("embedding").alias("nv"))
+    dot = F.aggregate(
+        F.zip_with("qv", "nv", lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x)
+    norm = lambda c: F.sqrt(F.aggregate(  # noqa: E731
+        F.transform(c, lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x))
+    scored = (cands.join(e1, "qid").join(e2, "nid")
+              .withColumn("cosine", F.round(
+                  dot / (norm(F.col("qv")) * norm(F.col("nv"))), round_to)))
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("nid"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("qid", "nid", "cosine",
+                    F.col("rank").cast("long").alias("rank")))
+
+
+def ann_lsh_lookup(probes: DataFrame, index: DataFrame, dim: int,
+                   k: int = 1, n_tables: int = 64, n_bits: int = 16,
+                   seed: int = 9001, round_to: int = 4,
+                   id_col: str = "vec_id",
+                   vec_col: str = "embedding") -> DataFrame:
+    """Two-sided ANN lookup: for every probe vector, its top-k cosine
+    neighbors among the INDEX vectors, found via shared hyperplane
+    buckets + exact rerank. Returns (qid, nid, cosine, rank).
+
+    The sub-quadratic shape: both sides signature once (O(n·T·B) dots in
+    Arrow batches), candidates are an equi-join on (table, bucket) — at
+    n_bits=16 a random pair collides in one table w.p. 2^-16, so the
+    candidate set is ~n_tables·n²/2^n_bits ≪ n² while genuinely-similar
+    pairs (small angle → sign-stable projections) collide almost surely.
+    Rerank touches candidates only. Top-k ordering is on the ROUNDED
+    cosine (+ id tiebreak) so it is reproducible bit-for-bit across
+    engines."""
+    pb = hyperplane_buckets(probes, dim, n_tables, n_bits, seed,
+                            id_col=id_col, vec_col=vec_col)
+    ib = hyperplane_buckets(index, dim, n_tables, n_bits, seed,
+                            id_col=id_col, vec_col=vec_col)
+    cands = (pb.select("table", "bucket", F.col("vid").alias("qid"))
+             .join(ib.select("table", "bucket", F.col("vid").alias("nid")),
+                   ["table", "bucket"])
+             .select("qid", "nid").distinct())
+    e1 = probes.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qv"))
+    e2 = index.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("nv"))
     dot = F.aggregate(
         F.zip_with("qv", "nv", lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0), lambda acc, x: acc + x)
@@ -165,22 +207,28 @@ def _kmeans_fit(x: np.ndarray, n_centroids: int, seed: int,
 
 def ann_ivf_topk(emb: DataFrame, k: int = 5, n_centroids: int = 16,
                  n_probe: int = 4, seed: int = 9001,
-                 sample_mod: int = 4, round_to: int = 4,
+                 sample_cap: int = 65536, round_to: int = 4,
                  id_col: str = "vec_id",
                  vec_col: str = "embedding") -> DataFrame:
     """IVF approximate top-k cosine neighbors: a k-means coarse quantizer
     partitions vectors into cells (inverted lists); each query probes its
     n_probe nearest cells and reranks candidates exactly.
 
-    The quantizer trains driver-side on a deterministic hash sample
-    (pmod(xxhash64(id), sample_mod) == 0) — fitting a coarse codebook is
-    inherently a small-model step (the model is n_centroids x dim floats,
-    broadcast in the kernel closure); ALL per-vector work stays
-    distributed. Complements ann_lsh_topk: IVF adapts to the data
-    distribution where hyperplane LSH is oblivious."""
-    sample = (emb.filter(
-        F.pmod(F.xxhash64(F.col(id_col)), F.lit(sample_mod)) == 0)
-        .select(vec_col).toPandas())
+    The quantizer trains driver-side on a deterministic, ABSOLUTELY
+    BOUNDED sample: the sample_cap smallest xxhash64(id) values — a
+    TakeOrdered plan (per-partition top-k heap + driver merge), so the
+    driver pull is O(sample_cap x dim) REGARDLESS of table size, the
+    selection is unbiased (hash order ~ random order), and it is exactly
+    reproducible. The old fixed-fraction sample (mod filter + toPandas)
+    pulled 1/sample_mod of ALL vectors — a driver OOM at 10^9 vectors.
+    Fitting the codebook is inherently a small-model step (the model is
+    n_centroids x dim floats, broadcast in the kernel closure); ALL
+    per-vector work stays distributed. Complements ann_lsh_topk: IVF
+    adapts to the data distribution where hyperplane LSH is oblivious."""
+    sample = (emb.select(vec_col,
+                         F.xxhash64(F.col(id_col)).alias("__h"))
+              .orderBy("__h").limit(sample_cap)
+              .select(vec_col).toPandas())
     x = np.stack(sample[vec_col].to_numpy()).astype(np.float64)
     x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
     cents = _kmeans_fit(x, n_centroids, seed)
