@@ -1010,34 +1010,42 @@ def q_simhash_near_docs(spark, sf_dir):
         # RE2's \s is [ \t\n\f\r] — python's ASCII \s also matches \x0b,
         # so spell the class out for exact DuckDB split parity (\v-tested)
         split = _re.compile(r"[ \t\n\f\r]+").split
+        md5_cache: dict[str, int] = {}
         for pdf in batches:
             if not len(pdf):
                 continue
-            ids, sigs = [], []
-            md5_cache: dict[str, int] = {}
-            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+            # batch-level vocabulary dedup (the signatures-kernel pattern):
+            # gather every doc's token stream, factorize ONCE, md5 each
+            # DISTINCT token once per batch (cached across batches), then
+            # per-doc bit votes as one reduceat over the occurrence rows —
+            # no Python work proportional to tokens, only to new vocab
+            words, n_words = [], []
+            for text in pdf["text"]:
                 # trim() in Spark/DuckDB strips SPACES only — mirror that,
                 # and keep split's leading/trailing empty tokens
                 t = (text or "").strip(" ")
-                words = split(t) if t else [""]  # SQL split('') -> ['']
-                uniq, inv = np.unique(np.array(words, dtype=object),
-                                      return_inverse=True)
-                w = np.bincount(inv).astype(np.int64)
-                hs = np.empty(len(uniq), dtype=np.int64)
-                for i, u in enumerate(uniq):
-                    v = md5_cache.get(u)
-                    if v is None:
-                        v = int(hashlib.md5(
-                            u.encode("utf-8")).hexdigest()[:15], 16)
-                        md5_cache[u] = v
-                    hs[i] = v
-                bits = (hs[:, None] >> np.arange(60)) & 1      # (v, 60)
-                s = ((2 * bits - 1) * w[:, None]).sum(axis=0)  # (60,)
-                sig = int(((s > 0).astype(np.int64)
-                           << np.arange(60)).sum())
-                ids.append(doc_id)
-                sigs.append(sig)
-            yield pd.DataFrame({"doc_id": ids, "simhash": sigs})
+                ws = split(t) if t else [""]  # SQL split('') -> ['']
+                words.extend(ws)
+                n_words.append(len(ws))
+            codes, uniq = pd.factorize(
+                pd.array(words, dtype=object), use_na_sentinel=False)
+            hs = np.empty(len(uniq), dtype=np.int64)
+            for i, u in enumerate(uniq):
+                v = md5_cache.get(u)
+                if v is None:
+                    v = int(hashlib.md5(
+                        u.encode("utf-8")).hexdigest()[:15], 16)
+                    md5_cache[u] = v
+                hs[i] = v
+            bits = (hs[:, None] >> np.arange(60)) & 1          # (vocab, 60)
+            n_words = np.asarray(n_words, dtype=np.int64)
+            starts = np.cumsum(n_words) - n_words
+            ones = np.add.reduceat(bits[codes], starts, axis=0)  # (docs, 60)
+            s = 2 * ones - n_words[:, None]                       # Σ(2b-1)
+            sigs = ((s > 0).astype(np.int64)
+                    << np.arange(60)).sum(axis=1)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"].to_numpy(),
+                                "simhash": sigs})
 
     sig = docs.select("doc_id", "text").mapInPandas(
         sim_kernel, schema="doc_id long, simhash long")
