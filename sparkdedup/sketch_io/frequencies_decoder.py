@@ -74,3 +74,63 @@ def decode_freq_longs_sketch(data: bytes) -> FreqSketchImage:
                           offset=pos + 8 * active)
     return FreqSketchImage(lg_max, lg_cur, int(stream_weight), int(offset),
                            items.astype(np.int64), counts.astype(np.int64))
+
+
+@dataclass
+class FreqStringSketchImage:
+    """Frequent-items sketch with STRING items — same preamble as the
+    longs layout (reference frequencies/items_sketch.go:112-186: preArr[1]
+    low-u32 = activeItems, preArr[2] = streamWeight, preArr[3] = offset),
+    then activeItems counts (i64), then activeItems variable-length items
+    (u32-LE byte length + utf-8 bytes each — the generic string SerDe the
+    long decoder never exercises)."""
+    lg_max_map_size: int
+    lg_cur_map_size: int
+    stream_weight: int
+    offset: int
+    items: list
+    counts: np.ndarray
+
+    @property
+    def max_map_size(self) -> int:
+        return 1 << self.lg_max_map_size
+
+    @property
+    def maximum_error(self) -> int:
+        # reference GetMaximumError == the purge offset
+        return self.offset
+
+    def estimate(self, item: str) -> int:
+        for it, c in zip(self.items, self.counts):
+            if it == item:
+                return int(c) + self.offset
+        return self.offset
+
+
+def decode_freq_string_sketch(data: bytes) -> FreqStringSketchImage:
+    if len(data) < 8:
+        raise ValueError("frequencies sketch too short")
+    pre_longs, ser_ver, family, lg_max, lg_cur, flags = data[:6]
+    pre_longs &= 0x3F
+    if family != FREQUENCY_FAMILY:
+        raise ValueError(f"not a frequencies sketch (family {family})")
+    if ser_ver != 1:
+        raise ValueError(f"unsupported serial version {ser_ver}")
+    if flags & _EMPTY_FLAG:
+        return FreqStringSketchImage(lg_max, lg_cur, 0, 0, [],
+                                     np.empty(0, np.int64))
+    active = struct.unpack_from("<I", data, 8)[0]
+    stream_weight = struct.unpack_from("<q", data, 16)[0]
+    offset = struct.unpack_from("<q", data, 24)[0]
+    pos = pre_longs * 8
+    counts = np.frombuffer(data, dtype="<i8", count=active,
+                           offset=pos).astype(np.int64)
+    pos += 8 * active
+    items = []
+    for _ in range(active):
+        ln = struct.unpack_from("<I", data, pos)[0]
+        pos += 4
+        items.append(data[pos: pos + ln].decode("utf-8"))
+        pos += ln
+    return FreqStringSketchImage(lg_max, lg_cur, int(stream_weight),
+                                 int(offset), items, counts)
