@@ -1435,6 +1435,93 @@ def q_hll_union_users(spark, sf_dir):
                  .alias("approx_users")))
 
 
+def q_regional_supplier_volume(spark, sf_dir):
+    """TPC-H Q5 shape: 6-table join (customer-orders-lineitem-supplier-
+    nation-region) with the local-supplier predicate (customer and supplier
+    in the same nation), revenue rolled up per nation inside one region.
+
+    Plan shape for scale: the two big tables (lineitem, orders) shuffle
+    once on orderkey; every dimension (customer 1.5k, supplier 100,
+    nation 25, region 5) is broadcast, so the nation/region restriction
+    prunes BEFORE the big join output is aggregated and no dimension ever
+    shuffles. The c_nationkey = s_nationkey predicate rides the join."""
+    r = _read(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = _read(spark, sf_dir, "nation")
+    s = _read(spark, sf_dir, "supplier")
+    c = _read(spark, sf_dir, "customer")
+    o = _read(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01")))
+    li = _read(spark, sf_dir, "lineitem")
+    dim = (s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+           .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+           .select("s_suppkey", "s_nationkey", "n_name"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(dim),
+              (li.l_suppkey == dim.s_suppkey)
+              & (c.c_nationkey == dim.s_nationkey))
+        .groupBy("n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice")
+                           * (1 - F.col("l_discount"))), 2).alias("revenue"))
+    )
+
+
+SQL_REGIONAL_SUPPLIER_VOLUME = """
+SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM customer, orders, lineitem, supplier, nation, region
+WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+  AND r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1998-01-01'
+GROUP BY n_name
+"""
+
+
+def q_part_profit_by_nation(spark, sf_dir):
+    """TPC-H Q9 shape: part-filtered profit per (nation, year) over a
+    5-table join — exercises the `part` dimension plus a string LIKE
+    pushdown, a date-extraction group key, and two broadcast dims.
+
+    Scale shape: part is filtered by LIKE at the scan (pushed), then
+    broadcast into lineitem; supplier->nation is a tiny broadcast chain;
+    orders joins lineitem on the shuffle key they would co-bucket on."""
+    p = (_read(spark, sf_dir, "part")
+         .filter(F.col("p_name").like("%red%"))
+         .select("p_partkey"))
+    s = _read(spark, sf_dir, "supplier")
+    n = _read(spark, sf_dir, "nation")
+    o = _read(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    li = _read(spark, sf_dir, "lineitem")
+    sn = (s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+          .select("s_suppkey", "n_name"))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(sn), li.l_suppkey == sn.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(F.col("n_name").alias("nation"),
+                 F.year("o_orderdate").alias("o_year"))
+        .agg(F.round(F.sum(F.col("l_extendedprice")
+                           * (1 - F.col("l_discount"))), 2).alias("profit"))
+    )
+
+
+SQL_PART_PROFIT_BY_NATION = """
+SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS profit
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+WHERE p_name LIKE '%red%'
+GROUP BY 1, 2
+"""
+
+
 # --------------------------------------------------------------------------
 # catalog
 # --------------------------------------------------------------------------
@@ -1478,6 +1565,8 @@ QUERIES = {
     "neardup_clusters_docs": q_neardup_clusters_docs,
     "media_features": q_media_features,
     "ann_lsh_lookup": q_ann_lsh_lookup,
+    "regional_supplier_volume": q_regional_supplier_volume,
+    "part_profit_by_nation": q_part_profit_by_nation,
 }
 
 ORACLES = {
@@ -1517,6 +1606,8 @@ ORACLES = {
     "neardup_clusters_docs": SQL_NEARDUP_CLUSTERS_DOCS,
     "media_features": SQL_MEDIA_FEATURES,
     "ann_lsh_lookup": SQL_ANN_LSH_LOOKUP,
+    "regional_supplier_volume": SQL_REGIONAL_SUPPLIER_VOLUME,
+    "part_profit_by_nation": SQL_PART_PROFIT_BY_NATION,
     # hll_distinct_users / hll_union_users: deliberately rows-only — the
     # HLL estimate is approximate by construction and Spark's DataSketches
     # HLL binary is not ANSI-SQL-expressible; accuracy + binary compat are
