@@ -1435,6 +1435,157 @@ def q_hll_union_users(spark, sf_dir):
                  .alias("approx_users")))
 
 
+_SYS_OFFSET = 0.3819660112501051  # deterministic systematic-draw offset
+
+
+def q_varopt_orders(spark, sf_dir):
+    """VarOpt_k weighted sample (reference sampling/varopt_items_sketch.go:
+    94-250): per order priority, k=50 orders weighted by o_totalprice —
+    heavy orders (w >= tau) kept exactly with their own weight, the rest
+    drawn systematically with inclusion probability exactly w/tau and
+    assigned weight tau, so sum(adj_weight) over any predicate is an
+    unbiased subset-sum estimate and sum over the whole sample equals the
+    group total EXACTLY. Pure window algebra (no RNG, no UDF): the order
+    key is md5 so DuckDB replays the identical draw."""
+    from sparkdedup.operators.sampling import varopt_sample
+
+    o = _read(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice")
+    key = F.md5(F.concat(F.lit("v|"), F.col("o_orderkey").cast("string")))
+    s = varopt_sample(o, k=50, weight_col="o_totalprice",
+                      group_cols=["o_orderpriority"], order_key=key,
+                      offset=_SYS_OFFSET)
+    return s.select("o_orderpriority", "o_orderkey",
+                    F.round("adj_weight", 4).alias("adj_weight"))
+
+
+SQL_VAROPT_ORDERS = f"""
+WITH base AS (
+  SELECT o_orderpriority AS grp, o_orderkey,
+         CAST(o_totalprice AS DOUBLE) AS w,
+         md5('v|' || CAST(o_orderkey AS VARCHAR)) AS mk
+  FROM orders
+), t AS (
+  SELECT *,
+    row_number() OVER (PARTITION BY grp ORDER BY w DESC, mk) AS rn,
+    coalesce(sum(w) OVER (PARTITION BY grp ORDER BY w DESC, mk
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+             0.0) AS pre,
+    sum(w) OVER (PARTITION BY grp) AS s,
+    count(*) OVER (PARTITION BY grp) AS cnt
+  FROM base
+), c AS (
+  SELECT *, (s - pre) / greatest(50 - rn + 1, 1) AS cand FROM t
+), hh AS (
+  SELECT *, min(CASE WHEN rn <= 50 AND w <= cand THEN rn END)
+              OVER (PARTITION BY grp) AS hf
+  FROM c
+), tv AS (
+  SELECT *, max(CASE WHEN rn = hf THEN cand END)
+              OVER (PARTITION BY grp) AS tau
+  FROM hh
+), p AS (
+  SELECT *, CASE WHEN cnt <= 50 OR rn < hf THEN 0.0 ELSE w / tau END AS pi
+  FROM tv
+), cm AS (
+  SELECT *, sum(pi) OVER (PARTITION BY grp ORDER BY mk
+                          ROWS UNBOUNDED PRECEDING) AS cum
+  FROM p
+)
+SELECT grp AS o_orderpriority, o_orderkey,
+       round(CASE WHEN cnt <= 50 OR rn < hf THEN w ELSE tau END, 4)
+         AS adj_weight
+FROM cm
+WHERE cnt <= 50 OR rn < hf
+   OR floor(cum - {_SYS_OFFSET!r}) > floor(cum - pi - {_SYS_OFFSET!r})
+"""
+
+
+def q_reservoir_union_orders(spark, sf_dir):
+    """Reservoir UNION (reference sampling/reservoir_items_union.go:
+    122-253): orders are split into two deterministic streams, each
+    reservoir-sampled at a different capacity (k=40 / k=25 per priority),
+    then the two per-priority reservoirs are merged into ONE k=30
+    reservoir where each item's implicit weight is max(1, n/k) of its
+    source — so every ORIGINAL order has the same first-order inclusion
+    probability regardless of which stream carried it (the reference's
+    documented guarantee). Every draw is md5-keyed, so the oracle replays
+    the sampling AND the weighted merge exactly."""
+    from sparkdedup.operators.sampling import reservoir_union
+
+    o = _read(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    okey = F.col("o_orderkey").cast("string")
+    src = F.when(F.substring(F.md5(F.concat(F.lit("s|"), okey)), 1, 1) < "8",
+                 "a").otherwise("b")
+    rk = F.md5(F.concat(F.lit("r|"), okey))
+    d = o.withColumn("src", src)
+    w_res = Window.partitionBy("o_orderpriority", "src").orderBy(rk)
+    w_n = Window.partitionBy("o_orderpriority", "src")
+    ksrc = F.when(F.col("src") == "a", F.lit(40)).otherwise(F.lit(25))
+    samp = (d.withColumn("_rrn", F.row_number().over(w_res))
+             .withColumn("src_n", F.count("*").over(w_n))
+             .withColumn("src_k", ksrc)
+             .filter(F.col("_rrn") <= F.col("src_k")).drop("_rrn"))
+    u = reservoir_union(samp, k=30, n_col="src_n", k_col="src_k",
+                        group_cols=["o_orderpriority"],
+                        order_key=F.md5(F.concat(F.lit("u|"), okey)),
+                        offset=_SYS_OFFSET)
+    return u.select("o_orderpriority", "src", "o_orderkey")
+
+
+SQL_RESERVOIR_UNION_ORDERS = f"""
+WITH base AS (
+  SELECT o_orderpriority AS grp, o_orderkey,
+         CASE WHEN substring(md5('s|' || CAST(o_orderkey AS VARCHAR)), 1, 1)
+                   < '8' THEN 'a' ELSE 'b' END AS src
+  FROM orders
+), tagged AS (
+  SELECT *,
+    row_number() OVER (PARTITION BY grp, src
+                       ORDER BY md5('r|' || CAST(o_orderkey AS VARCHAR)))
+      AS rrn,
+    count(*) OVER (PARTITION BY grp, src) AS src_n,
+    CASE WHEN src = 'a' THEN 40 ELSE 25 END AS src_k
+  FROM base
+), samp AS (
+  SELECT grp, o_orderkey, src,
+         greatest(1.0, CAST(src_n AS DOUBLE) / CAST(src_k AS DOUBLE)) AS w,
+         md5('u|' || CAST(o_orderkey AS VARCHAR)) AS mk
+  FROM tagged WHERE rrn <= src_k
+), t AS (
+  SELECT *,
+    row_number() OVER (PARTITION BY grp ORDER BY w DESC, mk) AS rn,
+    coalesce(sum(w) OVER (PARTITION BY grp ORDER BY w DESC, mk
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+             0.0) AS pre,
+    sum(w) OVER (PARTITION BY grp) AS s,
+    count(*) OVER (PARTITION BY grp) AS cnt
+  FROM samp
+), c AS (
+  SELECT *, (s - pre) / greatest(30 - rn + 1, 1) AS cand FROM t
+), hh AS (
+  SELECT *, min(CASE WHEN rn <= 30 AND w <= cand THEN rn END)
+              OVER (PARTITION BY grp) AS hf
+  FROM c
+), tv AS (
+  SELECT *, max(CASE WHEN rn = hf THEN cand END)
+              OVER (PARTITION BY grp) AS tau
+  FROM hh
+), p AS (
+  SELECT *, CASE WHEN cnt <= 30 OR rn < hf THEN 0.0 ELSE w / tau END AS pi
+  FROM tv
+), cm AS (
+  SELECT *, sum(pi) OVER (PARTITION BY grp ORDER BY mk
+                          ROWS UNBOUNDED PRECEDING) AS cum
+  FROM p
+)
+SELECT grp AS o_orderpriority, src, o_orderkey
+FROM cm
+WHERE cnt <= 30 OR rn < hf
+   OR floor(cum - {_SYS_OFFSET!r}) > floor(cum - pi - {_SYS_OFFSET!r})
+"""
+
+
 def q_regional_supplier_volume(spark, sf_dir):
     """TPC-H Q5 shape: 6-table join (customer-orders-lineitem-supplier-
     nation-region) with the local-supplier predicate (customer and supplier
@@ -1567,6 +1718,8 @@ QUERIES = {
     "ann_lsh_lookup": q_ann_lsh_lookup,
     "regional_supplier_volume": q_regional_supplier_volume,
     "part_profit_by_nation": q_part_profit_by_nation,
+    "varopt_orders": q_varopt_orders,
+    "reservoir_union_orders": q_reservoir_union_orders,
 }
 
 ORACLES = {
@@ -1608,6 +1761,8 @@ ORACLES = {
     "ann_lsh_lookup": SQL_ANN_LSH_LOOKUP,
     "regional_supplier_volume": SQL_REGIONAL_SUPPLIER_VOLUME,
     "part_profit_by_nation": SQL_PART_PROFIT_BY_NATION,
+    "varopt_orders": SQL_VAROPT_ORDERS,
+    "reservoir_union_orders": SQL_RESERVOIR_UNION_ORDERS,
     # hll_distinct_users / hll_union_users: deliberately rows-only — the
     # HLL estimate is approximate by construction and Spark's DataSketches
     # HLL binary is not ANSI-SQL-expressible; accuracy + binary compat are
