@@ -1435,6 +1435,48 @@ def q_hll_union_users(spark, sf_dir):
                  .alias("approx_users")))
 
 
+def q_streaming_hourly_rollup(spark, sf_dir):
+    """Structured Streaming under the driver gate: the events table is
+    consumed as a FILE STREAM (readStream + pathGlobFilter), rolled up by
+    the watermarked tumbling-window operator (streaming/stream_dedup.py::
+    streaming_hourly_rollup, watermark 2h), and drained with
+    Trigger.AvailableNow into a memory sink. Append mode emits exactly
+    the CLOSED windows — those whose end is at or before the final
+    watermark max(ts) - 2h — which is a pure batch-SQL-expressible set,
+    so the oracle recomputes the same rollup with the same cutoff. This
+    pins the streaming semantics (watermark eviction, no-data flush
+    batch, exact agg parity with batch) under the hash gate, not just in
+    pytest."""
+    import tempfile
+    import uuid
+
+    from sparkdedup.streaming.stream_dedup import streaming_hourly_rollup
+
+    batch = _read(spark, sf_dir, "events")
+    stream = (spark.readStream.schema(batch.schema)
+              .option("pathGlobFilter", "events.parquet").parquet(sf_dir))
+    rolled = streaming_hourly_rollup(stream, watermark="2 hours")
+    name = f"shr_{uuid.uuid4().hex[:12]}"
+    ckpt = tempfile.mkdtemp(prefix="sd_stream_ckpt_")
+    q = (rolled.writeStream.outputMode("append").format("memory")
+         .queryName(name).option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    return spark.table(name).select(
+        F.col("hour").cast("timestamp_ntz").alias("hour"),
+        "event_type", "n", "sum_value")
+
+
+SQL_STREAMING_HOURLY_ROLLUP = """
+SELECT date_trunc('hour', ts) AS hour, event_type,
+       count(*) AS n, round(sum(value), 4) AS sum_value
+FROM events
+GROUP BY 1, 2
+HAVING date_trunc('hour', ts) + INTERVAL 1 HOUR
+       <= (SELECT max(ts) FROM events) - INTERVAL 2 HOUR
+"""
+
+
 _SYS_OFFSET = 0.3819660112501051  # deterministic systematic-draw offset
 
 
@@ -1720,6 +1762,7 @@ QUERIES = {
     "part_profit_by_nation": q_part_profit_by_nation,
     "varopt_orders": q_varopt_orders,
     "reservoir_union_orders": q_reservoir_union_orders,
+    "streaming_hourly_rollup": q_streaming_hourly_rollup,
 }
 
 ORACLES = {
@@ -1763,6 +1806,7 @@ ORACLES = {
     "part_profit_by_nation": SQL_PART_PROFIT_BY_NATION,
     "varopt_orders": SQL_VAROPT_ORDERS,
     "reservoir_union_orders": SQL_RESERVOIR_UNION_ORDERS,
+    "streaming_hourly_rollup": SQL_STREAMING_HOURLY_ROLLUP,
     # hll_distinct_users / hll_union_users: deliberately rows-only — the
     # HLL estimate is approximate by construction and Spark's DataSketches
     # HLL binary is not ANSI-SQL-expressible; accuracy + binary compat are
