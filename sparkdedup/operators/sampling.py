@@ -50,6 +50,56 @@ def reservoir_sample(df: DataFrame, k: int, group_cols: list[str] | None = None,
             .filter(F.col("_rk") <= k).drop("_rk"))
 
 
+def reservoir_sample_scaled(df: DataFrame, k: int,
+                            group_cols: list[str] | None = None,
+                            seed: int = 9001, boost: int = 8) -> DataFrame:
+    """reservoir_sample for groups too big to sort in one task.
+
+    The naive formulation window-sorts EVERY row of a group inside a
+    single task (Window.partitionBy(group) is a per-group gather) — a
+    scale killer when one group holds billions of rows. This variant
+    returns the IDENTICAL sample (same xxhash64 key, same k smallest)
+    with the full-group sort replaced by:
+
+      1. per-group counts (map-side-combinable agg, one scan);
+      2. a key-threshold prefilter: keys are uniform over int64, so the
+         k-th smallest sits near INT64_MIN + (k/n)*2^64; keeping keys
+         below the (boost*k/n) quantile passes ~boost*k rows per group
+         through the window (the only sorted set);
+      3. an exactness check: any group with fewer than k survivors (a
+         ~e^-k tail event, or a skew/miscount artifact) falls back to
+         its full row set, so the output is provably identical to the
+         naive window for every group.
+
+    Two extra cheap aggregates buy an O(n) -> O(boost*k) reduction of the
+    per-group sorted volume."""
+    key = F.xxhash64(*[F.col(c) for c in df.columns], F.lit(seed))
+    gcols = group_cols or ["_g"]
+    d = df.withColumn("_key", key)
+    if not group_cols:
+        d = d.withColumn("_g", F.lit(1))
+    counts = d.groupBy(*gcols).agg(F.count("*").alias("_n"))
+    d = d.join(counts, gcols)  # AQE broadcasts when the group table is small
+    # threshold in key space: INT64_MIN + frac * 2^64, clamped to "keep all"
+    frac = F.least(F.lit(1.0), F.lit(float(boost) * k) / F.col("_n"))
+    thresh = F.when(frac >= 1.0, F.lit(2**63 - 1).cast("long")).otherwise(
+        (F.lit(-(2.0**63)) + frac * F.lit(2.0**64)).cast("long"))
+    d = d.withColumn("_th", thresh)
+    surv = d.filter(F.col("_key") <= F.col("_th"))
+    # exactness fallback: groups where the prefilter kept < k rows (tiny
+    # by construction) get their full row set back
+    sc = surv.groupBy(*gcols).agg(F.count("*").alias("_sn"))
+    under = sc.filter(F.col("_sn") < k).select(*gcols)
+    extra = d.join(F.broadcast(under), gcols, "semi").filter(
+        F.col("_key") > F.col("_th"))
+    surv = surv.unionByName(extra)
+    w = Window.partitionBy(*gcols).orderBy("_key")
+    out = (surv.withColumn("_rk", F.row_number().over(w))
+               .filter(F.col("_rk") <= k))
+    drop = ["_rk", "_key", "_n", "_th"] + ([] if group_cols else ["_g"])
+    return out.drop(*drop)
+
+
 def threshold_sample(df: DataFrame, k: int, weight_col: str,
                      order_key: Column, offset: float,
                      group_cols: list[str] | None = None,
@@ -115,6 +165,119 @@ def threshold_sample(df: DataFrame, k: int, weight_col: str,
     drop = ["_w", "_rn", "_pre", "_S", "_cnt", "_cand", "_hf", "_tau",
             "_pi", "_cum"]
     return out.drop(*drop)
+
+
+def _np_threshold(w, rank, k, offset):
+    """Offline threshold sample of ONE group in numpy — the same
+    arithmetic as threshold_sample (tau scan over weight-desc order,
+    heavies exact, systematic light draw in `rank` order). Returns
+    (positions kept, adjusted weights)."""
+    import numpy as np
+
+    n = len(w)
+    if n <= k:
+        return np.arange(n), np.asarray(w, dtype=np.float64).copy()
+    w = np.asarray(w, dtype=np.float64)
+    rank = np.asarray(rank)
+    idx = np.lexsort((rank, -w))
+    ws = w[idx]
+    S = ws.sum()
+    pre = np.concatenate(([0.0], np.cumsum(ws)[:-1]))
+    rn = np.arange(1, n + 1)
+    cand = (S - pre) / np.maximum(k - rn + 1, 1)
+    ok = (rn <= k) & (ws <= cand)
+    hf = rn[ok][0]
+    tau = cand[hf - 1]
+    h = hf - 1
+    heavy = idx[:h]
+    light = idx[h:]
+    lo = light[np.argsort(rank[light], kind="stable")]
+    pi = w[lo] / tau
+    cum = np.cumsum(pi)
+    crossed = np.floor(cum - offset) > np.floor(cum - pi - offset)
+    kept_light = lo[crossed]
+    keep = np.concatenate([heavy, kept_light])
+    adj = np.concatenate([w[heavy], np.full(len(kept_light), tau)])
+    return keep, adj
+
+
+def varopt_sample_scaled(df: DataFrame, k: int, weight_col: str,
+                         group_cols: list[str] | None = None,
+                         seed: int = 9001,
+                         offset: float = 0.3819660112501051,
+                         adj_weight_col: str = "adj_weight") -> DataFrame:
+    """Two-phase distributed VarOpt — the scale path for groups too big
+    to window-sort in one task (threshold_sample gathers each group).
+
+    Mirrors the reference's mergeable-sketch design
+    (sampling/varopt_items_union.go): phase 1 runs an offline VarOpt over
+    each (Arrow batch, group) slice inside mapInPandas — bounded k rows
+    of state per slice, no shuffle, weights become HT adj-weights; phase
+    2 merges each group's <= k-per-batch partials with one more
+    threshold pass over the ADJUSTED weights (applyInPandas; input is
+    k * n_batches rows per group, not n). Unbiasedness composes by the
+    tower rule — each phase's HT estimator is conditionally unbiased —
+    and the HT total identity (sum adj_weight == population total) holds
+    EXACTLY through both phases. Per-row uniform ranks are xxhash64-
+    derived JVM-side; the draw is deterministic for a fixed partitioning
+    but batch boundaries move with the layout, so the single-pass window
+    form (varopt_sample) remains the oracle-replayable path."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    gcols = list(group_cols or [])
+    u = (F.pmod(F.xxhash64(*[F.col(c) for c in df.columns], F.lit(seed)),
+                F.lit(1 << 53)) + 1) / F.lit(float(1 << 53))
+    d = df.withColumn("_u", u)
+    mid_schema = StructType(list(d.schema.fields)
+                            + [StructField("_pw", DoubleType())])
+
+    def _partial(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            w = pdf[weight_col].to_numpy(dtype=np.float64)
+            rank = pdf["_u"].to_numpy(dtype=np.float64)
+            if gcols:
+                codes, _ = pd.factorize(
+                    pd.MultiIndex.from_frame(pdf[gcols]) if len(gcols) > 1
+                    else pdf[gcols[0]])
+                order = np.argsort(codes, kind="stable")
+                bounds = np.flatnonzero(
+                    np.r_[True, codes[order][1:] != codes[order][:-1]])
+                segs = np.split(order, bounds[1:])
+            else:
+                segs = [np.arange(len(pdf))]
+            outs = []
+            for seg in segs:
+                keep, adj = _np_threshold(w[seg], rank[seg], k, offset)
+                part = pdf.iloc[seg[keep]].copy()
+                part["_pw"] = adj
+                outs.append(part)
+            yield pd.concat(outs, ignore_index=True)
+
+    partial = d.mapInPandas(_partial, schema=mid_schema)
+
+    out_schema = StructType(list(df.schema.fields)
+                            + [StructField(adj_weight_col, DoubleType())])
+
+    def _merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        w = pdf["_pw"].to_numpy(dtype=np.float64)
+        # re-salt the rank so the merge draw is independent of phase 1's
+        rank = np.mod(pdf["_u"].to_numpy(dtype=np.float64)
+                      * 2654435761.0, 1.0)
+        keep, adj = _np_threshold(w, rank, k, offset)
+        out = pdf.iloc[keep].drop(columns=["_u", "_pw"]).copy()
+        out[adj_weight_col] = adj
+        return out
+
+    if gcols:
+        merged = partial.groupBy(*gcols).applyInPandas(_merge, out_schema)
+    else:
+        merged = partial.groupBy(F.lit(1).alias("_g")).applyInPandas(
+            lambda key, pdf: _merge(pdf), out_schema)
+    return merged
 
 
 def varopt_sample(df: DataFrame, k: int, weight_col: str,
