@@ -14,9 +14,14 @@ Families covered (SURVEY.md §2 mapping):
          document fingerprints;
   frequencies: exact top-k heavy hitters; quantiles: percentile contract;
   distinct counting: exact + HLL built-in (hll rows-only);
-  relational: TPC-H-style agg, multi-join + top-k, windowed ranking,
-         sessionization, time-bucketed rollups;
-  similarity: brute-force cosine top-k, embedding norms.
+  relational: TPC-H-style agg (Q1/Q3/Q5/Q9 shapes), multi-join + top-k,
+         windowed ranking, sessionization, time-bucketed rollups;
+  similarity: brute-force cosine top-k, embedding norms, LSH-bucketed ANN;
+  sampling: deterministic reservoir, VarOpt (tau + systematic IPPS draw),
+         reservoir UNION with per-source implicit weights;
+  streaming: watermarked tumbling-window rollup drained via AvailableNow
+         and hash-matched against the batch closed-window set;
+  multimodal: BMP/WAV encode->decode->feature round trip.
 """
 
 from __future__ import annotations
