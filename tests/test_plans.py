@@ -140,3 +140,51 @@ def test_kmv_tokens_partial_pipeline(spark):
     assert "MapInPandas" in plan
     assert "FlatMapGroupsInPandas" in plan or "ApplyInPandas" in plan \
         or "FlatMapGroupsIn" in plan
+
+
+def test_regional_supplier_volume_plan(spark):
+    """TPC-H Q5 shape: every dimension broadcasts (customer, supplier,
+    nation, region), only lineitem/orders shuffle, partial aggregation
+    before the exchange, no cartesian."""
+    plan = _plan(spark, "regional_supplier_volume")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan
+    assert "partial_sum" in plan
+    assert "PushedFilters" in plan or "DataFilters" in plan
+
+
+def test_varopt_orders_plan_all_jvm(spark):
+    """The VarOpt window formulation is pure JVM window algebra: no
+    Python evaluation anywhere in the plan (the kernel-free path is what
+    makes the draw exactly replayable by the oracle engine)."""
+    plan = _plan(spark, "varopt_orders")
+    assert "MapInPandas" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "Window" in plan
+
+
+def test_reservoir_union_orders_plan_all_jvm(spark):
+    plan = _plan(spark, "reservoir_union_orders")
+    assert "MapInPandas" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "Window" in plan
+
+
+def test_varopt_scaled_plan_shape(spark):
+    """Two-phase VarOpt: partial kernel on the scan side (MapInPandas
+    BEFORE the group exchange), merge kernel after (FlatMapGroupsIn*);
+    no window over the full input."""
+    from pyspark.sql import functions as F
+
+    from sparkdedup.operators.sampling import varopt_sample_scaled
+
+    o = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    df = varopt_sample_scaled(o, k=20, weight_col="o_totalprice",
+                              group_cols=["o_orderpriority"])
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan
+    assert "FlatMapGroupsIn" in plan or "ApplyInPandas" in plan
+    mp = plan.index("MapInPandas")
+    fg = max(plan.find("FlatMapGroupsInPandas"), plan.find("ApplyInPandas"))
+    assert fg < mp  # plans print top-down: the merge sits ABOVE the partial
