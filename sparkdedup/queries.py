@@ -1482,6 +1482,40 @@ HAVING date_trunc('hour', ts) + INTERVAL 1 HOUR
 """
 
 
+def q_streaming_first_seen(spark, sf_dir):
+    """Streaming exact dedup under the driver gate (the bloom
+    QueryAndUpdate / first-seen contract, reference filter.QueryAndUpdate
+    semantics): documents consumed as a file stream, first occurrence of
+    each content hash kept by the watermarked stateful dropDuplicates
+    (streaming/stream_dedup.py::streaming_first_seen), drained with
+    AvailableNow. WHICH physical row of a duplicate group arrives first
+    depends on partition order, so the gate pins the deterministic part —
+    the DISTINCT content-hash key set — which the oracle recomputes as
+    SELECT DISTINCT md5(text)."""
+    import tempfile
+    import uuid
+
+    from sparkdedup.streaming.stream_dedup import streaming_first_seen
+
+    batch = _read(spark, sf_dir, "documents")
+    stream = (spark.readStream.schema(batch.schema)
+              .option("pathGlobFilter", "documents.parquet").parquet(sf_dir)
+              .withColumn("ts", F.to_timestamp(F.lit("2024-01-01 00:00:00"))))
+    dedup = streaming_first_seen(stream)
+    name = f"sfs_{uuid.uuid4().hex[:12]}"
+    ckpt = tempfile.mkdtemp(prefix="sd_stream_ckpt_")
+    q = (dedup.writeStream.outputMode("append").format("memory")
+         .queryName(name).option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    return spark.table(name).select("text_hash")
+
+
+SQL_STREAMING_FIRST_SEEN = """
+SELECT DISTINCT md5(text) AS text_hash FROM documents
+"""
+
+
 _SYS_OFFSET = 0.3819660112501051  # deterministic systematic-draw offset
 
 
@@ -1768,6 +1802,7 @@ QUERIES = {
     "varopt_orders": q_varopt_orders,
     "reservoir_union_orders": q_reservoir_union_orders,
     "streaming_hourly_rollup": q_streaming_hourly_rollup,
+    "streaming_first_seen": q_streaming_first_seen,
 }
 
 ORACLES = {
@@ -1812,6 +1847,7 @@ ORACLES = {
     "varopt_orders": SQL_VAROPT_ORDERS,
     "reservoir_union_orders": SQL_RESERVOIR_UNION_ORDERS,
     "streaming_hourly_rollup": SQL_STREAMING_HOURLY_ROLLUP,
+    "streaming_first_seen": SQL_STREAMING_FIRST_SEEN,
     # hll_distinct_users / hll_union_users: deliberately rows-only — the
     # HLL estimate is approximate by construction and Spark's DataSketches
     # HLL binary is not ANSI-SQL-expressible; accuracy + binary compat are

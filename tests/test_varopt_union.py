@@ -218,6 +218,42 @@ def test_reservoir_union_first_order_uniform_numpy():
     assert p1 == pytest.approx(p2, rel=0.07)
 
 
+def test_threshold_matches_mirror_property(spark):
+    """Property: for arbitrary positive weight multisets and any k, the
+    Spark window plan and the numpy mirror pick the IDENTICAL sample with
+    identical adjusted weights (shared md5 rank, shared offset). Random
+    cases generated up front so one Spark session serves them all."""
+    from sparkdedup.operators.sampling import varopt_sample
+
+    rng = np.random.default_rng(97)
+    cases = []
+    for t in range(6):
+        n = int(rng.integers(3, 120))
+        kind = t % 3
+        if kind == 0:
+            w = rng.uniform(0.1, 5.0, n)           # flat
+        elif kind == 1:
+            w = rng.pareto(1.2, n) + 0.1           # heavy tail
+        else:
+            w = np.repeat(rng.uniform(1, 10, 3), -(-n // 3))[:n]  # ties
+        k = int(rng.integers(1, max(2, n)))
+        cases.append((w, k, float(rng.uniform(0, 1))))
+    for ci, (w, k, off) in enumerate(cases):
+        ids = np.arange(len(w))
+        df = spark.createDataFrame(
+            [(int(i), float(x)) for i, x in zip(ids, w)], "id long, w double")
+        key = F.md5(F.concat_ws("|", F.lit(str(ci)), F.col("id")))
+        s = varopt_sample(df, k=k, weight_col="w", order_key=key,
+                          offset=off).toPandas()
+        rank = _md5_rank(ids, str(ci))
+        # mirror tau-scan tiebreak: weight desc then md5 rank, like the op
+        kept, adj = np_threshold_sample(ids, w, k, rank, off)
+        assert set(s.id) == set(kept.tolist()), f"case {ci}"
+        want = dict(zip(kept.tolist(), adj.tolist()))
+        for i, a in s.set_index("id").adj_weight.items():
+            assert a == pytest.approx(want[i], rel=1e-9), f"case {ci}"
+
+
 # ---------------------------------------------------------------------------
 # scale paths
 # ---------------------------------------------------------------------------
