@@ -64,6 +64,45 @@ def group_scaling_microbench(seed: int = 0) -> None:
         print(f"{n_groups:>8} {kmv_sec:>9.3f} {tup_sec:>10.3f}")
 
 
+def sampling_variance_bench(seed: int = 0, trials: int = 400) -> None:
+    """VarOpt vs uniform reservoir on subset-sum estimation — the
+    quantitative case for the variance-optimal design (reference
+    sampling/varopt_items_sketch.go). Same numpy threshold math as
+    operators/sampling.py (proven identical to the Spark plan in
+    tests/test_varopt_union.py); uniform = HT with weight n/k."""
+    import numpy as np
+
+    from sparkdedup.operators.sampling import _np_threshold
+
+    rng = np.random.default_rng(seed)
+    n, k = 2000, 100
+    w = rng.pareto(1.3, n) + 0.2          # heavy-tailed item weights
+    subs = {
+        "random 25%": rng.random(n) < 0.25,
+        "top-decile byweight": w >= np.quantile(w, 0.9),
+        "bottom-half byweight": w < np.quantile(w, 0.5),
+    }
+    print(f"\nsubset-sum RMSE over {trials} trials, n={n} k={k} "
+          f"(pareto weights):")
+    print(f"{'subset':>22} {'true':>10} {'varopt_rmse':>12} "
+          f"{'uniform_rmse':>13} {'ratio':>6}")
+    for name, mask in subs.items():
+        true = w[mask].sum()
+        vo, un = [], []
+        for _ in range(trials):
+            rank = rng.permutation(n).astype(float)
+            keep, adj = _np_threshold(w, rank, k, rng.uniform())
+            vo.append(adj[mask[keep]].sum())
+            samp = rng.choice(n, k, replace=False)
+            un.append(w[samp[mask[samp]]].sum() * n / k)
+        vo_rmse = float(np.sqrt(np.mean((np.array(vo) - true) ** 2)))
+        un_rmse = float(np.sqrt(np.mean((np.array(un) - true) ** 2)))
+        print(f"{name:>22} {true:>10.1f} {vo_rmse:>12.2f} "
+              f"{un_rmse:>13.2f} {un_rmse / max(vo_rmse, 1e-9):>6.1f}x")
+        assert abs(np.mean(vo) - true) < 0.1 * true + 3 * un_rmse / trials**0.5 \
+            or abs(np.mean(vo) - true) < 0.05 * true, "varopt biased?"
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--trials", type=int, default=20)
@@ -71,9 +110,14 @@ def main() -> int:
     ap.add_argument("--k", type=int, default=128)
     ap.add_argument("--group-bench", action="store_true",
                     help="run the 10^4-group update-kernel microbench only")
+    ap.add_argument("--sampling-bench", action="store_true",
+                    help="run the varopt-vs-uniform subset-sum RMSE table")
     args = ap.parse_args()
     if args.group_bench:
         group_scaling_microbench(args.seed)
+        return 0
+    if args.sampling_bench:
+        sampling_variance_bench(args.seed)
         return 0
     rng = np.random.default_rng(args.seed)
 
