@@ -22,13 +22,22 @@ from pathlib import Path
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def run_at(cpus: int, input_path: str, n_files: int, workroot: str) -> dict:
+def run_at(cpus: int, input_path: str, n_files: int, workroot: str,
+           shuffle_mult: int = 1, part_mult: int = 2) -> dict:
+    """One pipeline leg at local[cpus].
+
+    shuffle_mult/part_mult oversubscribe tasks per core — finer tasks are
+    classic straggler mitigation when cores can be silently stolen (a
+    time-sliced hypervisor here; slow/heterogeneous executors on a real
+    cluster): a stolen core then delays one small task, not 1/cpus of
+    every stage."""
     from sparkdedup.config import DedupConfig
     from sparkdedup.pipeline import DedupPipeline
     from sparkdedup.session import build_session
 
     spark = build_session(app_name=f"scaling-{cpus}",
-                          master=f"local[{cpus}]", shuffle_partitions=cpus)
+                          master=f"local[{cpus}]",
+                          shuffle_partitions=cpus * shuffle_mult)
     files = spark.read.parquet(input_path)
     # warmup: spin up python workers + JIT on a tiny slice (excluded from
     # the measured window; both sizes get the identical warmup)
@@ -38,7 +47,7 @@ def run_at(cpus: int, input_path: str, n_files: int, workroot: str) -> dict:
     t0 = time.time()
     pipe = DedupPipeline(spark, DedupConfig(),
                          workdir=f"{workroot}/w{cpus}",
-                         num_partitions=2 * cpus)
+                         num_partitions=part_mult * cpus)
     res = pipe.run(files)
     wall = time.time() - t0
     out = {
@@ -91,6 +100,10 @@ def main() -> int:
     ap.add_argument("--max-lines", type=int, default=400)
     ap.add_argument("--input", default=None,
                     help="reuse an existing files parquet dir (skip generation)")
+    ap.add_argument("--shuffle-mult", type=int, default=1,
+                    help="shuffle partitions per core (straggler mitigation)")
+    ap.add_argument("--part-mult", type=int, default=2,
+                    help="input partitions per core")
     args = ap.parse_args()
 
     import tempfile
@@ -133,7 +146,8 @@ def main() -> int:
     results = []
     for cpus in (args.n, 4 * args.n):
         print(f"running at local[{cpus}] ...", flush=True)
-        results.append(run_at(cpus, input_path, args.files, tmp))
+        results.append(run_at(cpus, input_path, args.files, tmp,
+                               args.shuffle_mult, args.part_mult))
         print(json.dumps(results[-1]), flush=True)
 
     thr_n, thr_4n = results[0]["files_per_sec"], results[1]["files_per_sec"]
