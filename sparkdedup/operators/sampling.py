@@ -334,3 +334,21 @@ def estimate_subset_sum(sample: DataFrame, predicate: Column,
         (F.sum(F.when(predicate, 1).otherwise(0)) * F.lit(scale))
         .alias("estimated_count"),
         F.sum(F.when(predicate, 1).otherwise(0)).alias("sample_count"))
+
+
+def varopt_subset_sum(sample: DataFrame, predicate: Column,
+                      group_cols: list[str] | None = None,
+                      adj_weight_col: str = "adj_weight") -> DataFrame:
+    """VarOpt EstimateSubsetSum (reference sampling/varopt_items_sketch.go
+    EstimateSubsetSum): the Horvitz-Thompson estimate of the population
+    subset WEIGHT is the sum of adjusted weights over the matching sample
+    rows — unbiased by construction (heavy items carry their exact
+    weight; light items carry tau with inclusion probability w/tau)."""
+    m = F.when(predicate, F.col(adj_weight_col)).otherwise(F.lit(0.0))
+    agg_exprs = [
+        F.sum(m).alias("estimate"),
+        F.sum(F.when(predicate, 1).otherwise(0)).alias("sample_matches"),
+    ]
+    if group_cols:
+        return sample.groupBy(*group_cols).agg(*agg_exprs)
+    return sample.agg(*agg_exprs)

@@ -112,6 +112,28 @@ def test_varopt_ht_total_identity(spark, skew_df):
         assert len(part) == 15
 
 
+def test_varopt_subset_sum_operator(spark, skew_df):
+    """varopt_subset_sum over the full sample == population total exactly
+    (the HT identity); a heavy-item predicate is exact too (heavies keep
+    their own weight and are always included)."""
+    from sparkdedup.operators.sampling import varopt_sample, varopt_subset_sum
+
+    s = varopt_sample(skew_df, k=20, weight_col="w")
+    total = varopt_subset_sum(s, F.lit(True)).first()
+    assert total["estimate"] == pytest.approx(
+        skew_df.toPandas().w.sum(), rel=1e-12)
+    heavy_est = varopt_subset_sum(s, F.col("w") >= 50).first()
+    assert heavy_est["estimate"] == pytest.approx(
+        500 + 400 + 300 + 200 + 100 + 90 + 80 + 70 + 60 + 50, rel=1e-12)
+    per_group = varopt_sample(skew_df, k=15, weight_col="w",
+                              group_cols=["grp"])
+    g = varopt_subset_sum(per_group, F.lit(True),
+                          group_cols=["grp"]).toPandas().set_index("grp")
+    tg = skew_df.toPandas().groupby("grp").w.sum()
+    for grp in ("g", "h"):
+        assert g.loc[grp, "estimate"] == pytest.approx(tg[grp], rel=1e-12)
+
+
 def test_varopt_exact_mode_keeps_everything(spark, skew_df):
     from sparkdedup.operators.sampling import varopt_sample
 
