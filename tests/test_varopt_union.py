@@ -240,6 +240,34 @@ def test_reservoir_union_first_order_uniform_numpy():
     assert p1 == pytest.approx(p2, rel=0.07)
 
 
+def test_varopt_edge_cases(spark):
+    """Deterministic boundary cases: k=1 (everything rides tau), a
+    single-row group, and all-equal weights (tau = S/k, any k rows are a
+    valid draw; sum identity still exact)."""
+    from sparkdedup.operators.sampling import varopt_sample
+
+    one = spark.createDataFrame([(1, 7.0)], "id long, w double")
+    s1 = varopt_sample(one, k=5, weight_col="w").toPandas()
+    assert len(s1) == 1 and s1.adj_weight[0] == 7.0
+
+    df = spark.createDataFrame([(i, 3.0) for i in range(40)],
+                               "id long, w double")
+    for k in (1, 7):
+        s = varopt_sample(df, k=k, weight_col="w").toPandas()
+        assert len(s) == k
+        assert s.adj_weight.sum() == pytest.approx(120.0, rel=1e-12)
+        # equal weights: tau = S/k, every kept item carries exactly it
+        assert np.allclose(s.adj_weight.to_numpy(), 120.0 / k, rtol=1e-12)
+
+    skew = spark.createDataFrame([(0, 1000.0)] + [(i, 1.0)
+                                 for i in range(1, 30)], "id long, w double")
+    s = varopt_sample(skew, k=3, weight_col="w").toPandas()
+    assert len(s) == 3
+    big = s[s.id == 0]
+    assert len(big) == 1 and big.adj_weight.iloc[0] == 1000.0  # heavy exact
+    assert s.adj_weight.sum() == pytest.approx(1029.0, rel=1e-12)
+
+
 def test_threshold_matches_mirror_property(spark):
     """Property: for arbitrary positive weight multisets and any k, the
     Spark window plan and the numpy mirror pick the IDENTICAL sample with
