@@ -25,6 +25,45 @@ def band_table(signatures: DataFrame) -> DataFrame:
     )
 
 
+def grouped_rank_scalable(df: DataFrame, group_cols: list[str],
+                          order_cols: list[str], num_partitions: int,
+                          rank_col: str = "rn") -> DataFrame:
+    """row_number() over (PARTITION BY group ORDER BY order) WITHOUT ever
+    gathering a group into one task — the scale form for groups that can
+    exceed a partition (a 10^7-row boilerplate mega-bucket at 100 TB would
+    otherwise ship whole into the single task that sorts it).
+
+    Three bounded steps reconstruct the exact global rank:
+      1. range-repartition on (group, order) — each output partition holds
+         a contiguous slice of the total order, sized by the partitioner,
+         never by the group;
+      2. local row_number within (partition_id, group) — every window
+         gather is bounded by the range-partition size;
+      3. per-(partition, group) counts (a tiny side table: one row per
+         group-slice) prefix-summed over partition_id and broadcast back:
+         global rank = local rank + offset of same-group rows in lower
+         partitions.
+    Because range partitions are contiguous in the sort key, the stitched
+    rank equals the single-window row_number exactly (order_cols + the
+    caller's key must form a total order within each group, as row_number
+    determinism already requires)."""
+    keys = group_cols + order_cols
+    d = (df.repartitionByRange(num_partitions, *[F.col(c) for c in keys])
+           .withColumn("_pid", F.spark_partition_id()))
+    wloc = (Window.partitionBy("_pid", *group_cols)
+            .orderBy(*[F.col(c) for c in order_cols]))
+    d = d.withColumn("_lrn", F.row_number().over(wloc))
+    cnt = d.groupBy("_pid", *group_cols).agg(F.count("*").alias("_c"))
+    woff = (Window.partitionBy(*group_cols).orderBy("_pid")
+            .rowsBetween(Window.unboundedPreceding, -1))
+    off = cnt.withColumn(
+        "_off", F.coalesce(F.sum("_c").over(woff), F.lit(0))).drop("_c")
+    return (d.join(F.broadcast(off), ["_pid"] + group_cols)
+             .withColumn(rank_col, (F.col("_lrn") + F.col("_off"))
+                         .cast("int"))
+             .drop("_pid", "_lrn", "_off"))
+
+
 def candidate_pairs(signatures: DataFrame, cfg: DedupConfig) -> DataFrame:
     """All LSH candidate pairs (src < dst), mega-buckets capped.
 
@@ -49,10 +88,16 @@ def candidate_pairs(signatures: DataFrame, cfg: DedupConfig) -> DataFrame:
     # mega-buckets: order members by simhash (near-duplicates sort adjacently
     # because close simhashes share high bits), pair each member with its w
     # successors via an equi-join on (bucket, rank+delta) — no collect_list,
-    # no quadratic blowup, scales to arbitrarily large buckets.
+    # no quadratic blowup. The rank itself is computed by the stitched
+    # range-partition form (grouped_rank_scalable): a plain
+    # Window.partitionBy(band, band_hash) would gather an entire mega-bucket
+    # into the one task that sorts it — exactly the skew this branch exists
+    # to avoid — so no per-task gather here ever exceeds a range partition.
     big = bands.filter(F.col("bsz") > cfg.bucket_cap)
-    w = Window.partitionBy("band", "band_hash").orderBy("simhash", "file_id")
-    ranked = big.withColumn("rn", F.row_number().over(w))
+    nparts = int(signatures.sparkSession.conf.get(
+        "spark.sql.shuffle.partitions", "32"))
+    ranked = grouped_rank_scalable(
+        big, ["band", "band_hash"], ["simhash", "file_id"], nparts)
     offsets = F.explode(F.sequence(F.lit(1), F.lit(cfg.neighbor_window)))
     probe = ranked.withColumn("delta", offsets).withColumn(
         "rn2", F.col("rn") + F.col("delta"))

@@ -19,11 +19,13 @@ with minimal variance across H+R; reservoir union: "each item from the
 global input has a uniform probability of selection, but there are no
 claims about higher order statistics", reservoir_items_union.go:36-44)
 while being pure window algebra: no per-item RNG state, no sequential
-insert loop, and — because it uses only IEEE +,-,*,/ and floor in a
-deterministic order — byte-reproducible by any other engine for the
-oracle gate. No reference code copied: the Go implementation is a
-sequential gadget with rand.Float64 slot replacement; this is a
-two-window-pass declarative redesign.
+insert loop, and — because every sum it takes is an ORDERED running
+window sum (sequential accumulation in frame order in every engine; no
+unordered partition-wide aggregate whose summation order could differ
+in the last ulp) over IEEE +,-,*,/ and floor — byte-reproducible by any
+other engine for the oracle gate. No reference code copied: the Go
+implementation is a sequential gadget with rand.Float64 slot
+replacement; this is a two-window-pass declarative redesign.
 """
 
 from __future__ import annotations
@@ -87,9 +89,16 @@ def reservoir_sample_scaled(df: DataFrame, k: int,
     d = d.withColumn("_th", thresh)
     surv = d.filter(F.col("_key") <= F.col("_th"))
     # exactness fallback: groups where the prefilter kept < k rows (tiny
-    # by construction) get their full row set back
+    # by construction) get their full row set back. `under` is derived
+    # from the FULL group list (counts left-joined with survivor counts),
+    # not from the survivors alone: a group whose prefilter kept ZERO rows
+    # (P ~ e^-(boost*k) per large group — rare but real across many
+    # groups) would otherwise vanish from the survivor-side aggregation
+    # and be silently dropped instead of falling back.
     sc = surv.groupBy(*gcols).agg(F.count("*").alias("_sn"))
-    under = sc.filter(F.col("_sn") < k).select(*gcols)
+    under = (counts.join(sc, gcols, "left")
+             .filter(F.coalesce(F.col("_sn"), F.lit(0)) < k)
+             .select(*gcols))
     extra = d.join(F.broadcast(under), gcols, "semi").filter(
         F.col("_key") > F.col("_th"))
     surv = surv.unionByName(extra)
@@ -127,6 +136,12 @@ def threshold_sample(df: DataFrame, k: int, weight_col: str,
     k - h lights are kept; each is included with probability exactly pi
     when offset ~ U(0,1). `offset` and `order_key` are caller-supplied
     so the draw is deterministic and replayable in another engine.
+
+    Input contract (matching the reference sketch, which rejects
+    weight <= 0 on update): weights must be strictly positive. Violations
+    fail LOUDLY at execution (assert_true folded into the weight cast) —
+    a silent pass would make all-zero light weights yield tau = 0 and
+    NULL inclusion probabilities, quietly returning short samples.
     """
     if not 0.0 <= offset < 1.0:
         raise ValueError(f"offset must be in [0,1), got {offset}")
@@ -135,13 +150,32 @@ def threshold_sample(df: DataFrame, k: int, weight_col: str,
     wg = Window.partitionBy(*pcols)
     wl = Window.partitionBy(*pcols).orderBy(order_key)
 
-    d = (df.withColumn("_w", F.col(weight_col).cast("double"))
+    wcast = F.col(weight_col).cast("double")
+    # assert_true returns NULL when the predicate holds and throws
+    # otherwise (NULL weights also fail: a null predicate is not true);
+    # folding it into _w itself (+ coalesce(NULL, 0.0)) keeps Catalyst
+    # from pruning the check away with an unused guard column.
+    guard = F.coalesce(F.assert_true(
+        wcast > 0, F.concat(
+            F.lit(f"threshold_sample: non-positive weight in {weight_col}: "),
+            wcast.cast("string"))).cast("double"), F.lit(0.0))
+    d = (df.withColumn("_w", wcast + guard)
            .withColumn("_rn", F.row_number().over(wd))
            .withColumn("_pre", F.coalesce(
                F.sum("_w").over(wd.rowsBetween(Window.unboundedPreceding, -1)),
                F.lit(0.0)))
-           .withColumn("_S", F.sum("_w").over(wg))
            .withColumn("_cnt", F.count("*").over(wg)))
+    # group total as the LAST value of the ordered running sum (_pre + _w
+    # at _rn == _cnt) rather than an unordered partition-wide sum():
+    # running-frame window sums accumulate sequentially in frame order in
+    # every engine, so tau — and therefore the systematic draw — is
+    # reproduced bit-for-bit by the oracle; an unordered aggregate may
+    # differ in the last ulp between engines (Spark row order vs DuckDB
+    # segment tree), which the 4dp rounding absorbs for VALUES but not
+    # for a draw-membership flip at a floor() boundary.
+    d = d.withColumn("_S", F.max(F.when(
+        F.col("_rn") == F.col("_cnt"),
+        F.col("_pre") + F.col("_w"))).over(wg))
     # divisor only meaningful for rn <= k (cond masks the rest); clamp to
     # keep ANSI mode from throwing DIVIDE_BY_ZERO at rn = k+1
     cand = ((F.col("_S") - F.col("_pre"))
@@ -178,11 +212,16 @@ def _np_threshold(w, rank, k, offset):
     if n <= k:
         return np.arange(n), np.asarray(w, dtype=np.float64).copy()
     w = np.asarray(w, dtype=np.float64)
+    if (w <= 0).any():
+        raise ValueError("threshold sample: non-positive weight")
     rank = np.asarray(rank)
     idx = np.lexsort((rank, -w))
     ws = w[idx]
-    S = ws.sum()
-    pre = np.concatenate(([0.0], np.cumsum(ws)[:-1]))
+    # sequential cumsum (not ws.sum(), which is pairwise): S must equal
+    # the ordered running total so tau matches threshold_sample exactly
+    run = np.cumsum(ws)
+    S = run[-1]
+    pre = np.concatenate(([0.0], run[:-1]))
     rn = np.arange(1, n + 1)
     cand = (S - pre) / np.maximum(k - rn + 1, 1)
     ok = (rn <= k) & (ws <= cand)
@@ -309,11 +348,17 @@ def reservoir_union(samples: DataFrame, k: int, n_col: str, k_col: str,
     weight is max(1, n/k) (exact-mode items weigh 1 — the reference's
     implicitSampleWeight and twoWayMergeInternalStandard/Weighted split).
     Drawing a fixed-size IPPS sample with those weights gives every
-    ORIGINAL stream item the same first-order inclusion probability
-    regardless of which source reservoir carried it — the exact guarantee
-    the reference documents (uniform selection probability, no
-    higher-order claims). Output keeps the input columns; the result
-    reservoir's logical N is sum of the distinct sources' n."""
+    ORIGINAL stream item the same first-order inclusion probability —
+    PROVIDED no implicit weight is heavy, i.e. tau >= max_i(n_i/k_i): a
+    heavy source's items would be kept with probability 1, giving their
+    originals inclusion k_i/n_i != 1/tau. The reference guards this by
+    capping the union capacity at MIN(k_1, k_2)
+    (reservoir_items_union.go:44-45); callers here must do the same —
+    choose k <= min(k_col) (the gate query does), or accept that
+    uniformity degrades to "HT-unbiased but not first-order uniform"
+    when k exceeds what the source weights support. Output keeps the
+    input columns; the result reservoir's logical N is sum of the
+    distinct sources' n."""
     if order_key is None:
         order_key = F.md5(F.concat_ws("|", *[F.col(c).cast("string")
                                              for c in samples.columns]))

@@ -1,0 +1,176 @@
+"""t-digest build / merge / quantile as a distributed Spark aggregation.
+
+Upgrades §2.4 t-digest from decoder-only (sketch_io/tdigest_decoder.py) to
+a full mergeable aggregation. Behavior spec: the reference's merging
+t-digest (tdigest/double.go:102-563 — behavior cited, no code copied);
+algorithm from the PUBLISHED merging-t-digest design (Dunning & Ertl,
+"Computing Extremely Accurate Quantiles Using t-Digests",
+arXiv:1902.04023): clusters kept small near the tails via the k1 (arcsine)
+scale function, merged greedily in mean order under the scale-function
+weight budget.
+
+Spark-first two-phase shape (same pattern as varopt_sample_scaled):
+  phase 1 — mapInPandas: each (Arrow batch, group) slice compresses its
+    raw values into <= ~2*delta centroids. Bounded state, no shuffle,
+    map-side reduction of n rows -> O(delta) rows per slice.
+  phase 2 — applyInPandas per group: concatenate the slices' centroids
+    (already (mean, weight) pairs — t-digest merge treats weighted
+    centroids exactly like weighted points) and compress once more.
+t-digests are fully mergeable (the reference unions them the same way),
+so accuracy composes: the merged digest obeys the same scale-function
+bound as a single-pass digest at the same delta.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (ArrayType, DoubleType, StructField,
+                               StructType)
+
+
+def _k1(q: np.ndarray | float, delta: float) -> np.ndarray | float:
+    return delta / (2.0 * np.pi) * np.arcsin(2.0 * np.asarray(q) - 1.0)
+
+
+def _k1_inv(k: np.ndarray | float, delta: float) -> np.ndarray | float:
+    return (np.sin(np.asarray(k) * (2.0 * np.pi) / delta) + 1.0) / 2.0
+
+
+def td_compress(means: np.ndarray, weights: np.ndarray,
+                delta: float) -> tuple[np.ndarray, np.ndarray]:
+    """Greedy in-order merge of weighted points/centroids under the k1
+    scale budget. Returns (means, weights) sorted ascending; centroid
+    count is O(delta). Weighted centroids are valid inputs, which is what
+    makes the digest mergeable."""
+    if len(means) == 0:
+        return means.astype(np.float64), weights.astype(np.float64)
+    order = np.argsort(means, kind="stable")
+    m = means[order].astype(np.float64)
+    w = weights[order].astype(np.float64)
+    total = float(w.sum())
+    out_m: list[float] = []
+    out_w: list[float] = []
+    cum = 0.0
+    cur_m, cur_w = float(m[0]), float(w[0])
+    limit = float(_k1_inv(_k1(0.0, delta) + 1.0, delta)) * total
+    for i in range(1, len(m)):
+        wi = float(w[i])
+        if cum + cur_w + wi <= limit:
+            cur_w += wi
+            cur_m += (float(m[i]) - cur_m) * wi / cur_w
+        else:
+            out_m.append(cur_m)
+            out_w.append(cur_w)
+            cum += cur_w
+            limit = float(_k1_inv(_k1(cum / total, delta) + 1.0,
+                                  delta)) * total
+            cur_m, cur_w = float(m[i]), wi
+    out_m.append(cur_m)
+    out_w.append(cur_w)
+    return np.asarray(out_m), np.asarray(out_w)
+
+
+def td_quantile(means: np.ndarray, weights: np.ndarray, mn: float,
+                mx: float, qs: np.ndarray) -> np.ndarray:
+    """Quantile estimate: linear interpolation between centroid-midpoint
+    ranks, clamped to [min, max] at the extremes."""
+    if len(means) == 0:
+        return np.full(len(qs), np.nan)
+    w = weights.astype(np.float64)
+    total = w.sum()
+    cum = np.cumsum(w) - w / 2.0  # midpoint rank of each centroid
+    xs = np.concatenate(([0.0], cum, [total]))
+    ys = np.concatenate(([mn], means, [mx]))
+    return np.interp(np.asarray(qs, dtype=np.float64) * total, xs, ys)
+
+
+def _digest_schema(base_fields: list[StructField]) -> StructType:
+    return StructType(base_fields + [
+        StructField("means", ArrayType(DoubleType())),
+        StructField("weights", ArrayType(DoubleType())),
+        StructField("n", DoubleType()),
+        StructField("min_item", DoubleType()),
+        StructField("max_item", DoubleType()),
+    ])
+
+
+def tdigest_agg(df: DataFrame, value_col: str,
+                group_cols: list[str] | None = None,
+                delta: float = 100.0) -> DataFrame:
+    """Aggregate `value_col` into one t-digest per group.
+
+    Output: group cols + (means array<double>, weights array<double>,
+    n double, min_item, max_item). n is EXACT (sum of weights is
+    preserved by every merge); quantiles via tdigest_quantiles."""
+    gcols = list(group_cols or [])
+    spark_fields = [f for f in df.schema.fields if f.name in gcols]
+
+    mid = _digest_schema(spark_fields)
+
+    def _partial(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            if gcols:
+                groups = pdf.groupby(gcols, sort=False)
+            else:
+                groups = [((), pdf)]
+            outs = []
+            for key, g in groups:
+                v = g[value_col].to_numpy(dtype=np.float64)
+                v = v[~np.isnan(v)]
+                if not len(v):
+                    continue
+                m, w = td_compress(v, np.ones(len(v)), delta)
+                row = {c: (key[i] if isinstance(key, tuple) else key)
+                       for i, c in enumerate(gcols)}
+                row.update({"means": m, "weights": w, "n": float(len(v)),
+                            "min_item": float(v.min()),
+                            "max_item": float(v.max())})
+                outs.append(row)
+            if outs:
+                yield pd.DataFrame(outs)
+
+    partial = df.select(*(gcols + [value_col])).mapInPandas(_partial, mid)
+
+    def _merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        m = np.concatenate([np.asarray(x) for x in pdf["means"]])
+        w = np.concatenate([np.asarray(x) for x in pdf["weights"]])
+        mm, ww = td_compress(m, w, delta)
+        out = {c: [pdf[c].iloc[0]] for c in gcols}
+        out.update({"means": [mm], "weights": [ww],
+                    "n": [float(pdf["n"].sum())],
+                    "min_item": [float(pdf["min_item"].min())],
+                    "max_item": [float(pdf["max_item"].max())]})
+        return pd.DataFrame(out)
+
+    if gcols:
+        return partial.groupBy(*gcols).applyInPandas(_merge, mid)
+    return partial.groupBy(F.lit(1).alias("_g")).applyInPandas(
+        lambda key, pdf: _merge(pdf), mid)
+
+
+def tdigest_quantiles(digests: DataFrame, qs: list[float],
+                      group_cols: list[str] | None = None,
+                      round_to: int = 4) -> DataFrame:
+    """(group, q, value) — quantile estimates from tdigest_agg output."""
+    gcols = list(group_cols or [])
+    fields = [f for f in digests.schema.fields if f.name in gcols]
+    schema = StructType(fields + [StructField("q", DoubleType()),
+                                  StructField("value", DoubleType())])
+    qarr = np.asarray(qs, dtype=np.float64)
+
+    def run(batches):
+        for pdf in batches:
+            for _, r in pdf.iterrows():
+                vals = td_quantile(np.asarray(r["means"]),
+                                   np.asarray(r["weights"]),
+                                   r["min_item"], r["max_item"], qarr)
+                out = {c: np.repeat(r[c], len(qarr)) for c in gcols}
+                out.update({"q": qarr, "value": np.round(vals, round_to)})
+                yield pd.DataFrame(out)
+
+    return digests.mapInPandas(run, schema)

@@ -34,6 +34,28 @@ def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _table_rows(sf_dir: str, name: str) -> int:
+    """Row count from parquet FOOTER metadata — no Spark job.
+
+    The r3 plans that needed a size (bloom sizing, GEMM tile-grid sizing)
+    ran df.count() first: cheap at sf0.1 but still a full driver-blocking
+    scan-job barrier before the real plan at 100 TB. Footer num_rows is
+    exact, already materialized by every writer, and reading it is O(files)
+    metadata I/O — the same source catalog stats come from. Handles both a
+    single parquet file and a directory of part files."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    path = f"{sf_dir}/{name}.parquet"
+    if os.path.isdir(path):
+        return sum(
+            pq.ParquetFile(os.path.join(root, f)).metadata.num_rows
+            for root, _, fs in os.walk(path)
+            for f in fs if f.endswith(".parquet"))
+    return pq.ParquetFile(path).metadata.num_rows
+
+
 def _fan_out(df: DataFrame, spark: SparkSession) -> DataFrame:
     """Repartition ONLY when the scan has fewer input files than cores.
 
@@ -55,6 +77,31 @@ def _fan_out(df: DataFrame, spark: SparkSession) -> DataFrame:
     if n_files < dp:
         return df.repartition(dp)
     return df
+
+
+_CKPT_ROOT: list[str] = []
+
+
+def _stream_ckpt(name: str) -> str:
+    """Checkpoint dir for a gate streaming query — bounded /tmp footprint.
+
+    r3 mkdtemp'd a FRESH dir per invocation and never removed it: a disk
+    leak when the gate or bench is poll-looped. Now one root per process
+    (removed atexit) holds one subdir per query name, and the subdir is
+    CLEARED before each start — mandatory, not just hygiene: a retained
+    checkpoint stores committed source offsets, so a reused dir would
+    silently skip all data on the next AvailableNow drain."""
+    import atexit
+    import shutil
+    import tempfile
+
+    if not _CKPT_ROOT:
+        root = tempfile.mkdtemp(prefix="sd_stream_ckpt_")
+        _CKPT_ROOT.append(root)
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+    path = f"{_CKPT_ROOT[0]}/{name}"
+    shutil.rmtree(path, ignore_errors=True)
+    return path
 
 
 # --------------------------------------------------------------------------
@@ -282,12 +329,24 @@ def q_substr_containment_docs(spark, sf_dir):
                     & (F.length("ta") < F.length("tb"))))
     verified = cand.filter(F.instr(F.col("tb"), F.col("ta")) > 0)
 
+    # docs too short for the anchor index (< 39 chars): the r3 plan ran an
+    # UNBOUNDED BroadcastNestedLoopJoin (every short doc x the corpus). The
+    # non-equi probe is unavoidable for substring semantics, but its left
+    # side is now bounded: dedup to DISTINCT short texts first (tiny docs
+    # are overwhelmingly boilerplate stubs — empty files, license headers —
+    # so the distinct set is small and broadcastable where the doc set is
+    # not), run ONE corpus pass against that deduped broadcast side, then
+    # fan hits back out to every source doc by a text equi-join. Exact
+    # recall is unchanged; the BNLJ cost drops from O(|short docs| x corpus)
+    # to O(|distinct short texts| x corpus).
     short_a = a.filter(F.length("ta") < min_len)
-    brute = (short_a.join(b, (F.col("src") != F.col("dst"))
-                          & (F.length("ta") < F.length("tb"))
-                          & (F.instr(F.col("tb"), F.col("ta")) > 0)))
-    return verified.select("src", "dst").unionByName(
-        brute.select("src", "dst")).distinct()
+    short_texts = short_a.select("ta").distinct()
+    brute_hits = (F.broadcast(short_texts)
+                  .join(b, (F.length("ta") < F.length("tb"))
+                        & (F.instr(F.col("tb"), F.col("ta")) > 0))
+                  .select("ta", "dst"))
+    brute = brute_hits.join(short_a, "ta").select("src", "dst")
+    return verified.select("src", "dst").unionByName(brute).distinct()
 
 
 SQL_SUBSTR_CONTAINMENT_DOCS = """
@@ -604,6 +663,69 @@ FROM lineitem GROUP BY 1
 """
 
 
+def q_tail_quantiles_prices(spark, sf_dir):
+    """EXTREME-tail quantiles — the REQ sketch's contract (reference
+    req/sketch.go:61-560): REQ exists because rank-error sketches (KLL)
+    give a +-eps*n RANK guarantee that is useless at p99.99 (the whole
+    tail fits inside the error band); REQ's HRA mode guarantees
+    RELATIVE rank error, so extreme quantiles stay meaningful. This
+    query pins the contract surface: p99 / p99.9 / p99.99 / max of
+    l_extendedprice per returnflag, exact at the gate scale (Spark
+    percentile == DuckDB quantile_cont, both linear-interpolating at
+    rank p*(n-1)). The approximation path's relative-error envelope in
+    estimation mode (percentile_approx at the same tail ranks) is
+    asserted in tests/test_tail_quantiles.py — the analog of REQ's HRA
+    accuracy guarantee, since no REQ golden vectors exist to gate serde
+    against."""
+    li = _read(spark, sf_dir, "lineitem")
+    pct = F.percentile("l_extendedprice", F.array(
+        F.lit(0.99), F.lit(0.999), F.lit(0.9999)))
+    return (
+        li.groupBy("l_returnflag")
+        .agg(F.round(pct[0], 4).alias("p99"),
+             F.round(pct[1], 4).alias("p999"),
+             F.round(pct[2], 4).alias("p9999"),
+             F.round(F.max("l_extendedprice"), 4).alias("pmax"))
+    )
+
+
+SQL_TAIL_QUANTILES_PRICES = """
+SELECT l_returnflag,
+       round(quantile_cont(l_extendedprice, 0.99), 4) AS p99,
+       round(quantile_cont(l_extendedprice, 0.999), 4) AS p999,
+       round(quantile_cont(l_extendedprice, 0.9999), 4) AS p9999,
+       round(max(l_extendedprice), 4) AS pmax
+FROM lineitem GROUP BY 1
+"""
+
+
+def q_tdigest_prices(spark, sf_dir):
+    """t-digest build + merge as a distributed aggregation (reference
+    tdigest/double.go:102-563 behavior; operators/tdigest_agg.py —
+    two-phase: per-batch compress -> per-group centroid merge). The
+    digest is approximate in its quantiles (pytest-gated accuracy:
+    tests/test_tdigest_agg.py) but EXACT in its mass bookkeeping — total
+    weight n, min and max survive both phases untouched — so the gate
+    hashes those exact invariants per group, which is precisely what a
+    SQL engine can replay."""
+    from sparkdedup.operators.tdigest_agg import tdigest_agg
+
+    li = _read(spark, sf_dir, "lineitem")
+    dig = tdigest_agg(li, "l_extendedprice", ["l_returnflag"], delta=100.0)
+    return dig.select(
+        "l_returnflag", F.col("n").cast("long").alias("n"),
+        F.round("min_item", 4).alias("min_price"),
+        F.round("max_item", 4).alias("max_price"))
+
+
+SQL_TDIGEST_PRICES = """
+SELECT l_returnflag, count(*) AS n,
+       round(min(l_extendedprice), 4) AS min_price,
+       round(max(l_extendedprice), 4) AS max_price
+FROM lineitem GROUP BY 1
+"""
+
+
 def q_distinct_users_by_type(spark, sf_dir):
     events = _read(spark, sf_dir, "events")
     return (events.groupBy("event_type")
@@ -810,34 +932,21 @@ FROM embeddings
 
 
 def q_ann_cosine_topk(spark, sf_dir):
-    """Brute-force cosine top-5 neighbors for query vectors (vec_id < 50):
-    broadcast the small query side, JVM-side aggregate over zipped arrays,
-    deterministic tie-break. The LSH-bucketed scale path lives in
-    sparkdedup/operators/similarity.py."""
+    """Brute-force cosine top-5 neighbors for query vectors (vec_id < 50)
+    as one GEMM scan (operators/similarity.py::ann_brute_topk): the
+    bounded query matrix ships in the kernel closure (pushed-down
+    vec_id < 50 scan, O(50 x dim) driver pull), every corpus Arrow batch
+    scores all 50 queries in a single BLAS multiply and emits only its
+    per-query partial top-5, and a final window ranks the tiny union.
+    Replaces the r3 plan (broadcast crossJoin + per-element zip_with/
+    aggregate HOF trees — interpreter cost per vector element per pair,
+    the most expensive query of BENCH_r03). The LSH-bucketed scale path
+    lives in sparkdedup/operators/similarity.py."""
+    from sparkdedup.operators.similarity import ann_brute_topk
+
     emb = _read(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") < 50).select(
-        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv"))
-    corpus = emb.select(F.col("vec_id").alias("nid"),
-                        F.col("embedding").alias("nv"))
-    dot = F.aggregate(
-        F.zip_with("qv", "nv",
-                   lambda a, b: a.cast("double") * b.cast("double")),
-        F.lit(0.0), lambda acc, x: acc + x)
-    norm = lambda c: F.sqrt(F.aggregate(  # noqa: E731
-        F.transform(c, lambda x: x.cast("double") * x.cast("double")),
-        F.lit(0.0), lambda acc, x: acc + x))
-    pairs = (
-        F.broadcast(queries).crossJoin(corpus)
-        .filter(F.col("qid") != F.col("nid"))
-        .withColumn("cosine",
-                    F.round(dot / (norm(F.col("qv")) * norm(F.col("nv"))), 4))
-    )
-    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("nid"))
-    return (
-        pairs.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 5)
-        .select("qid", "nid", "cosine", F.col("rank").cast("long").alias("rank"))
-    )
+    queries = emb.filter(F.col("vec_id") < 50)
+    return ann_brute_topk(emb, queries, k=5)
 
 
 SQL_ANN_COSINE_TOPK = """
@@ -962,7 +1071,7 @@ def q_embedding_neardup_pairs(spark, sf_dir):
     from sparkdedup.operators.similarity import cosine_pairs_blocked
 
     emb = _read(spark, sf_dir, "embeddings")
-    n = emb.count()  # parquet metadata count: sizes the tile grid
+    n = _table_rows(sf_dir, "embeddings")  # footer metadata, no Spark job
     n_blocks = max(1, -(-n // 2048))
     return cosine_pairs_blocked(emb, threshold=0.3, n_blocks=n_blocks)
 
@@ -1305,7 +1414,7 @@ def q_bloom_member_custkeys(spark, sf_dir):
                                                  bloom_might_contain)
 
     o = _read(spark, sf_dir, "orders").select("o_custkey")
-    n = o.count()  # sizing pass (parquet metadata count)
+    n = _table_rows(sf_dir, "orders")  # footer metadata, no Spark job
     bloom = bloom_build(o, "o_custkey", n_items=n, fpp=1e-6)
     c = _read(spark, sf_dir, "customer")
     probes = (c.select(F.col("c_custkey").alias("custkey"))
@@ -1452,7 +1561,6 @@ def q_streaming_hourly_rollup(spark, sf_dir):
     pins the streaming semantics (watermark eviction, no-data flush
     batch, exact agg parity with batch) under the hash gate, not just in
     pytest."""
-    import tempfile
     import uuid
 
     from sparkdedup.streaming.stream_dedup import streaming_hourly_rollup
@@ -1462,7 +1570,7 @@ def q_streaming_hourly_rollup(spark, sf_dir):
               .option("pathGlobFilter", "events.parquet").parquet(sf_dir))
     rolled = streaming_hourly_rollup(stream, watermark="2 hours")
     name = f"shr_{uuid.uuid4().hex[:12]}"
-    ckpt = tempfile.mkdtemp(prefix="sd_stream_ckpt_")
+    ckpt = _stream_ckpt("hourly_rollup")
     q = (rolled.writeStream.outputMode("append").format("memory")
          .queryName(name).option("checkpointLocation", ckpt)
          .trigger(availableNow=True).start())
@@ -1492,7 +1600,6 @@ def q_streaming_first_seen(spark, sf_dir):
     depends on partition order, so the gate pins the deterministic part —
     the DISTINCT content-hash key set — which the oracle recomputes as
     SELECT DISTINCT md5(text)."""
-    import tempfile
     import uuid
 
     from sparkdedup.streaming.stream_dedup import streaming_first_seen
@@ -1503,7 +1610,7 @@ def q_streaming_first_seen(spark, sf_dir):
               .withColumn("ts", F.to_timestamp(F.lit("2024-01-01 00:00:00"))))
     dedup = streaming_first_seen(stream)
     name = f"sfs_{uuid.uuid4().hex[:12]}"
-    ckpt = tempfile.mkdtemp(prefix="sd_stream_ckpt_")
+    ckpt = _stream_ckpt("first_seen")
     q = (dedup.writeStream.outputMode("append").format("memory")
          .queryName(name).option("checkpointLocation", ckpt)
          .trigger(availableNow=True).start())
@@ -1552,11 +1659,17 @@ WITH base AS (
     coalesce(sum(w) OVER (PARTITION BY grp ORDER BY w DESC, mk
                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
              0.0) AS pre,
-    sum(w) OVER (PARTITION BY grp) AS s,
     count(*) OVER (PARTITION BY grp) AS cnt
   FROM base
+), t2 AS (
+  -- group total as the LAST ordered running-sum value (pre + w at
+  -- rn = cnt), mirroring threshold_sample: both engines accumulate
+  -- running frames sequentially, so tau matches bit-for-bit
+  SELECT *, max(CASE WHEN rn = cnt THEN pre + w END)
+              OVER (PARTITION BY grp) AS s
+  FROM t
 ), c AS (
-  SELECT *, (s - pre) / greatest(50 - rn + 1, 1) AS cand FROM t
+  SELECT *, (s - pre) / greatest(50 - rn + 1, 1) AS cand FROM t2
 ), hh AS (
   SELECT *, min(CASE WHEN rn <= 50 AND w <= cand THEN rn END)
               OVER (PARTITION BY grp) AS hf
@@ -1586,12 +1699,15 @@ def q_reservoir_union_orders(spark, sf_dir):
     """Reservoir UNION (reference sampling/reservoir_items_union.go:
     122-253): orders are split into two deterministic streams, each
     reservoir-sampled at a different capacity (k=40 / k=25 per priority),
-    then the two per-priority reservoirs are merged into ONE k=30
-    reservoir where each item's implicit weight is max(1, n/k) of its
-    source — so every ORIGINAL order has the same first-order inclusion
-    probability regardless of which stream carried it (the reference's
-    documented guarantee). Every draw is md5-keyed, so the oracle replays
-    the sampling AND the weighted merge exactly."""
+    then the two per-priority reservoirs are merged into ONE reservoir of
+    capacity k=25 = MIN(k_a, k_b) — the reference's union-capacity cap
+    (reservoir_items_union.go:44-45), which guarantees tau >= every
+    implicit weight so no source turns heavy — where each item's implicit
+    weight is max(1, n/k) of its source. Every ORIGINAL order then has
+    the same first-order inclusion probability regardless of which stream
+    carried it (the reference's documented guarantee). Every draw is
+    md5-keyed, so the oracle replays the sampling AND the weighted merge
+    exactly."""
     from sparkdedup.operators.sampling import reservoir_union
 
     o = _read(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
@@ -1607,7 +1723,7 @@ def q_reservoir_union_orders(spark, sf_dir):
              .withColumn("src_n", F.count("*").over(w_n))
              .withColumn("src_k", ksrc)
              .filter(F.col("_rrn") <= F.col("src_k")).drop("_rrn"))
-    u = reservoir_union(samp, k=30, n_col="src_n", k_col="src_k",
+    u = reservoir_union(samp, k=25, n_col="src_n", k_col="src_k",
                         group_cols=["o_orderpriority"],
                         order_key=F.md5(F.concat(F.lit("u|"), okey)),
                         offset=_SYS_OFFSET)
@@ -1639,13 +1755,16 @@ WITH base AS (
     coalesce(sum(w) OVER (PARTITION BY grp ORDER BY w DESC, mk
                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
              0.0) AS pre,
-    sum(w) OVER (PARTITION BY grp) AS s,
     count(*) OVER (PARTITION BY grp) AS cnt
   FROM samp
+), t2 AS (
+  SELECT *, max(CASE WHEN rn = cnt THEN pre + w END)
+              OVER (PARTITION BY grp) AS s
+  FROM t
 ), c AS (
-  SELECT *, (s - pre) / greatest(30 - rn + 1, 1) AS cand FROM t
+  SELECT *, (s - pre) / greatest(25 - rn + 1, 1) AS cand FROM t2
 ), hh AS (
-  SELECT *, min(CASE WHEN rn <= 30 AND w <= cand THEN rn END)
+  SELECT *, min(CASE WHEN rn <= 25 AND w <= cand THEN rn END)
               OVER (PARTITION BY grp) AS hf
   FROM c
 ), tv AS (
@@ -1653,7 +1772,7 @@ WITH base AS (
               OVER (PARTITION BY grp) AS tau
   FROM hh
 ), p AS (
-  SELECT *, CASE WHEN cnt <= 30 OR rn < hf THEN 0.0 ELSE w / tau END AS pi
+  SELECT *, CASE WHEN cnt <= 25 OR rn < hf THEN 0.0 ELSE w / tau END AS pi
   FROM tv
 ), cm AS (
   SELECT *, sum(pi) OVER (PARTITION BY grp ORDER BY mk
@@ -1662,7 +1781,7 @@ WITH base AS (
 )
 SELECT grp AS o_orderpriority, src, o_orderkey
 FROM cm
-WHERE cnt <= 30 OR rn < hf
+WHERE cnt <= 25 OR rn < hf
    OR floor(cum - {_SYS_OFFSET!r}) > floor(cum - pi - {_SYS_OFFSET!r})
 """
 
@@ -1770,6 +1889,8 @@ QUERIES = {
     "doc_fingerprint": q_doc_fingerprint,
     "freq_top_terms": q_freq_top_terms,
     "quantiles_prices": q_quantiles_prices,
+    "tail_quantiles_prices": q_tail_quantiles_prices,
+    "tdigest_prices": q_tdigest_prices,
     "distinct_users_by_type": q_distinct_users_by_type,
     "hll_distinct_users": q_hll_distinct_users,
     "kmv_distinct_tokens": q_kmv_distinct_tokens,
@@ -1816,6 +1937,8 @@ ORACLES = {
     "doc_fingerprint": SQL_DOC_FINGERPRINT,
     "freq_top_terms": SQL_FREQ_TOP_TERMS,
     "quantiles_prices": SQL_QUANTILES_PRICES,
+    "tail_quantiles_prices": SQL_TAIL_QUANTILES_PRICES,
+    "tdigest_prices": SQL_TDIGEST_PRICES,
     "distinct_users_by_type": SQL_DISTINCT_USERS_BY_TYPE,
     "pricing_summary": SQL_PRICING_SUMMARY,
     "top_revenue_orders": SQL_TOP_REVENUE_ORDERS,

@@ -144,3 +144,51 @@ def test_streaming_sessionize_matches_batch(spark, tmp_path):
             wl.remove(x)
     # the stream must actually close most sessions at this data density
     assert len(got) >= 0.5 * len(want)
+
+
+def test_append_emission_boundary_semantics(spark, tmp_path):
+    """Pin Spark's append-mode emission predicate at the exact boundary
+    (ADVICE r3): with max(ts) landing exactly on an hour mark, is the
+    window whose end EQUALS the final watermark (max_ts - delay) emitted?
+    The gate oracle (SQL_STREAMING_HOURLY_ROLLUP) must use the same
+    comparison; this fixture fails loudly if Spark's semantics and the
+    oracle's cutoff ever disagree on the equality case."""
+    import pandas as pd
+
+    from sparkdedup.streaming.stream_dedup import streaming_hourly_rollup
+
+    # max ts = 12:00:00 exactly; watermark 2h -> final watermark 10:00:00.
+    # Window [09:00, 10:00) has end == watermark: the equality case.
+    rows = pd.DataFrame({
+        "ts": pd.to_datetime([
+            "2024-01-01 08:30:00", "2024-01-01 09:15:00",
+            "2024-01-01 09:45:00", "2024-01-01 10:30:00",
+            "2024-01-01 12:00:00"]),
+        "event_type": ["a"] * 5,
+        "value": [1.0, 2.0, 3.0, 4.0, 5.0],
+    })
+    src_dir = str(tmp_path / "boundary_events")
+    spark.createDataFrame(rows).write.parquet(src_dir)
+    stream = (spark.readStream
+              .schema("ts timestamp_ntz, event_type string, value double")
+              .parquet(src_dir))
+    agg = streaming_hourly_rollup(stream, watermark="2 hours")
+    q = (agg.writeStream.outputMode("append").format("memory")
+         .queryName("boundary_out")
+         .option("checkpointLocation", str(tmp_path / "ckpt_boundary"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = spark.sql("SELECT * FROM boundary_out").toPandas()
+    emitted_hours = set(got["hour"].astype(str))
+    # the 08:00 window (end 09:00 < watermark) must be out
+    assert any(h.startswith("2024-01-01 08") for h in emitted_hours)
+    # replicate the ORACLE's inclusive cutoff: end <= max_ts - 2h keeps
+    # the 09:00 window. If Spark emits it too, the oracle is aligned.
+    oracle_keeps_9 = True  # end 10:00 <= 10:00
+    spark_emits_9 = any(h.startswith("2024-01-01 09") for h in emitted_hours)
+    assert spark_emits_9 == oracle_keeps_9, (
+        f"append-mode boundary mismatch: spark emitted {sorted(emitted_hours)} "
+        "but the oracle cutoff is inclusive (end <= watermark) — fix "
+        "SQL_STREAMING_HOURLY_ROLLUP to match")
+    # the 10:00 window (end 11:00 > watermark) must be withheld
+    assert not any(h.startswith("2024-01-01 10") for h in emitted_hours)
