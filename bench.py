@@ -45,6 +45,16 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 # 3, idle local[32] sandbox, 2026-08-17) — the denominators of epoch_factor
 CPU_PROBE_REF_SECONDS = 0.201
 SPARK_PROBE_REF_SECONDS = 0.531
+SPARK_PY_PROBE_REF_SECONDS = 0.9292  # local[32], r4 build epoch
+# context for readers of the JSON: one probe task is ~0.48s single-core in
+# the same epoch, so implied effective cores = 32 * 0.48 / spark_py_seconds
+# — 16.4 at calibration time, i.e. this box delivers about HALF its 32
+# vCPUs even when otherwise idle. The signature stage (pure parallel
+# numpy) scales with effective cores, which is what makes this probe the
+# right denominator for pipeline files/sec comparisons across rounds.
+# NOTE: the ref (and therefore parallel_epoch_factor) is calibrated at
+# the driver's local[32] setting; at other SPARK_GRAFT_CPUS the probe
+# value is still recorded but the factor is not like-for-like.
 
 
 def cpu_probe_once() -> float:
@@ -77,6 +87,32 @@ def spark_probe_once(spark) -> float:
     return time.perf_counter() - t0
 
 
+def spark_py_probe_once(spark, cpus: int) -> float:
+    """Fixed numpy work in EVERY python worker at full parallelism (one
+    task per core, identical work each). On uncontended hardware this is
+    ~one task's wall time regardless of cpus; when the hypervisor
+    time-slices the vCPUs (this box beyond ~8-way — NOTES.md gotcha #1)
+    it stretches by the slicing factor. This is the probe that explains
+    a slow pipeline/signature stage when the single-thread CPU probe and
+    the small shuffle probe both read normal."""
+    import numpy as np
+    import pandas as pd
+
+    def work(batches):
+        for pdf in batches:
+            # ~0.35s single-core: large enough that worker/Arrow overhead
+            # (~0.3s fixed) doesn't drown the signal
+            x = np.arange(1_000_000, dtype=np.float64)
+            for _ in range(100):
+                x = np.sqrt(x * 1.0000001 + 1.0)
+            yield pd.DataFrame({"s": [float(x.sum())]})
+
+    t0 = time.perf_counter()
+    (spark.range(cpus).repartition(cpus)
+     .mapInPandas(work, schema="s double").count())
+    return time.perf_counter() - t0
+
+
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -105,15 +141,23 @@ def main() -> int:
 
     # fixed-work probes (medians of 3) — run warmed, before the suite
     spark_probe_once(spark)
+    spark_py_probe_once(spark, cpus)
     cpu_probe = statistics.median(cpu_probe_once() for _ in range(3))
     spark_probe = statistics.median(spark_probe_once(spark) for _ in range(3))
+    py_probe = statistics.median(spark_py_probe_once(spark, cpus)
+                                 for _ in range(3))
     probe = {
         "cpu_seconds": round(cpu_probe, 4),
         "spark_seconds": round(spark_probe, 4),
+        "spark_py_seconds": round(py_probe, 4),
         "cpu_ref_seconds": CPU_PROBE_REF_SECONDS,
         "spark_ref_seconds": SPARK_PROBE_REF_SECONDS,
+        "spark_py_ref_seconds": SPARK_PY_PROBE_REF_SECONDS,
         "epoch_factor": (round(cpu_probe / CPU_PROBE_REF_SECONDS, 3)
                          if CPU_PROBE_REF_SECONDS else None),
+        "parallel_epoch_factor": (
+            round(py_probe / SPARK_PY_PROBE_REF_SECONDS, 3)
+            if SPARK_PY_PROBE_REF_SECONDS else None),
     }
 
     t_all = time.time()

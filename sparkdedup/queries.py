@@ -699,6 +699,42 @@ FROM lineitem GROUP BY 1
 """
 
 
+def q_req_topk_prices(spark, sf_dir):
+    """REQ sketch (reference req/sketch.go:61-560, HRA mode;
+    operators/req_agg.py — published relative-error compactor chain,
+    two-phase mapInPandas build -> applyInPandas merge) exercised through
+    its DEFINING exact property: in HRA mode the protected top of level 0
+    always retains the true global top-k items, so extreme-tail order
+    statistics come back EXACT, not approximate. The query emits each
+    returnflag's top-5 prices read from the sketch's weight-1 level; the
+    oracle recomputes them with a plain window over the raw table. The
+    probabilistic envelope (relative-tail rank error) is pytest-gated in
+    tests/test_req_agg.py."""
+    from sparkdedup.operators.req_agg import req_agg
+
+    li = _read(spark, sf_dir, "lineitem")
+    sk = req_agg(li, "l_extendedprice", ["l_returnflag"], k=64)
+    z = sk.select("l_returnflag",
+                  F.explode(F.arrays_zip("levels", "values")).alias("it"))
+    lvl0 = z.filter(F.col("it.levels") == 0).select(
+        "l_returnflag", F.col("it.values").alias("price"))
+    w = Window.partitionBy("l_returnflag").orderBy(F.desc("price"))
+    return (lvl0.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 5)
+            .select("l_returnflag", F.col("rank").cast("long").alias("rank"),
+                    F.round("price", 4).alias("price")))
+
+
+SQL_REQ_TOPK_PRICES = """
+SELECT l_returnflag, rn AS rank, round(v, 4) AS price FROM (
+  SELECT l_returnflag, l_extendedprice AS v,
+         row_number() OVER (PARTITION BY l_returnflag
+                            ORDER BY l_extendedprice DESC) AS rn
+  FROM lineitem) t
+WHERE rn <= 5
+"""
+
+
 def q_tdigest_prices(spark, sf_dir):
     """t-digest build + merge as a distributed aggregation (reference
     tdigest/double.go:102-563 behavior; operators/tdigest_agg.py —
@@ -1891,6 +1927,7 @@ QUERIES = {
     "quantiles_prices": q_quantiles_prices,
     "tail_quantiles_prices": q_tail_quantiles_prices,
     "tdigest_prices": q_tdigest_prices,
+    "req_topk_prices": q_req_topk_prices,
     "distinct_users_by_type": q_distinct_users_by_type,
     "hll_distinct_users": q_hll_distinct_users,
     "kmv_distinct_tokens": q_kmv_distinct_tokens,
@@ -1939,6 +1976,7 @@ ORACLES = {
     "quantiles_prices": SQL_QUANTILES_PRICES,
     "tail_quantiles_prices": SQL_TAIL_QUANTILES_PRICES,
     "tdigest_prices": SQL_TDIGEST_PRICES,
+    "req_topk_prices": SQL_REQ_TOPK_PRICES,
     "distinct_users_by_type": SQL_DISTINCT_USERS_BY_TYPE,
     "pricing_summary": SQL_PRICING_SUMMARY,
     "top_revenue_orders": SQL_TOP_REVENUE_ORDERS,
