@@ -275,6 +275,52 @@ def ann_ivf_topk(emb: DataFrame, k: int = 5, n_centroids: int = 16,
     return _topk_ranked(score_pairs(cands, e1, e2, round_to), k)
 
 
+def ann_ivf_lookup(probes: DataFrame, index: DataFrame, k: int = 1,
+                   n_centroids: int = 16, n_probe: int = 4,
+                   seed: int = 9001, sample_cap: int = 65536,
+                   round_to: int = 4, id_col: str = "vec_id",
+                   vec_col: str = "embedding") -> DataFrame:
+    """Two-sided IVF lookup: each probe vector finds its top-k cosine
+    neighbors among the INDEX vectors via the k-means coarse quantizer —
+    index vectors live in their 1 nearest cell, probes scan their n_probe
+    nearest cells, candidates are the cell equi-join, rerank is the
+    score_pairs GEMM kernel. Candidate volume ~ (n_probe/n_centroids) of
+    brute force here; at scale n_centroids grows ~sqrt(n) so the fraction
+    shrinks. Same bounded TakeOrdered trainer sample as ann_ivf_topk."""
+    sample = (index.select(vec_col,
+                           F.xxhash64(F.col(id_col)).alias("__h"))
+              .orderBy("__h").limit(sample_cap)
+              .select(vec_col).toPandas())
+    x = np.stack(sample[vec_col].to_numpy()).astype(np.float64)
+    x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    cents = _kmeans_fit(x, n_centroids, seed)
+    cents /= np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
+
+    def assign(n_cells: int):
+        def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                v = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+                v /= np.maximum(np.linalg.norm(v, axis=1, keepdims=True),
+                                1e-12)
+                sim = v @ cents.T
+                top = np.argsort(-sim, axis=1)[:, :n_cells]
+                yield pd.DataFrame({
+                    "vid": np.repeat(pdf[id_col].to_numpy(), n_cells),
+                    "cell": top.reshape(-1)})
+        return run
+
+    cells = index.mapInPandas(assign(1), schema="vid long, cell int")
+    pcells = probes.mapInPandas(assign(n_probe), schema="vid long, cell int")
+    cands = (pcells.withColumnRenamed("vid", "qid")
+             .join(cells.withColumnRenamed("vid", "nid"), "cell")
+             .select("qid", "nid").distinct())
+    e1 = probes.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qv"))
+    e2 = index.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("nv"))
+    return _topk_ranked(score_pairs(cands, e1, e2, round_to), k)
+
+
 def ann_brute_topk(emb: DataFrame, queries: DataFrame, k: int = 5,
                    round_to: int = 4) -> DataFrame:
     """Exact top-k for a (small, broadcastable) query set — the oracle and

@@ -108,6 +108,35 @@ def test_lsh_lookup_finds_true_top1(spark, emb):
     assert n_cand < 0.10 * n * n, f"candidates {n_cand} not sub-quadratic"
 
 
+def test_ivf_lookup_finds_true_top1(spark, emb):
+    """Two-sided IVF lookup (r4): quantized probes must recover their
+    exact top-1 original through the cell-join plan — recall 1.0 at this
+    config/seed (the driver-oracle requirement), with candidate volume
+    bounded by the n_probe/n_centroids cell fraction."""
+    import numpy as np
+    import pandas as pd
+
+    from sparkdedup.operators.similarity import ann_ivf_lookup
+
+    def quant(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            v = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            q = (np.floor(v * 16) / 16).astype(np.float32)
+            yield pd.DataFrame({"vec_id": pdf["vec_id"].to_numpy(),
+                                "embedding": list(q)})
+
+    probes = emb.mapInPandas(
+        quant, schema="vec_id long, embedding array<float>")
+    got = ann_ivf_lookup(probes, emb, k=1, n_centroids=16,
+                         n_probe=4).toPandas()
+    n = emb.count()
+    assert len(got) == n
+    assert (got.qid == got.nid).all()
+    assert (got.cosine >= 0.90).all()
+
+
 def test_simhash_index_exact_vs_bruteforce(spark):
     """Pigeonhole piece-join must find EXACTLY the pairs with
     hamming <= max_hamming (no recall loss, no false positives)."""
