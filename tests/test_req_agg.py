@@ -103,3 +103,26 @@ def test_spark_operator_exact_invariants(spark):
     mm = qs.merge(exact, on="l_returnflag")
     spreadf = want.hi.max() - want.lo.min()
     assert (abs(mm.value - mm.p) <= 0.1 * spreadf).all()
+
+
+def test_chain_property_weight_exact():
+    """Property: total retained weight equals the exact input count for
+    arbitrary float streams and chunkings."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=30, deadline=None)
+    @given(st.lists(st.floats(-1e9, 1e9, allow_nan=False),
+                    min_size=1, max_size=3000),
+           st.integers(min_value=1, max_value=997))
+    def check(vals, chunk):
+        ch = _ReqChain(8)
+        a = np.asarray(vals, dtype=np.float64)
+        for i in range(0, len(a), chunk):
+            ch.update(a[i:i + chunk])
+        assert ch.total_weight() == len(a)
+        # max always retained (HRA protected top)
+        vs, _ = ch.items()
+        assert a.max() in vs
+
+    check()

@@ -120,3 +120,41 @@ def test_spark_operator_per_group(spark):
     ns = dig.select("l_returnflag", "n").toPandas()
     merged = ns.merge(exact, on="l_returnflag")
     assert (merged.n_x == merged.n_y).all()
+
+
+def test_spark_operator_multi_group_cols(spark):
+    """Two grouping columns exercise the MultiIndex key path in the
+    partition accumulator."""
+    from pyspark.sql import functions as F
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    dig = tdigest_agg(li, "l_extendedprice",
+                      ["l_returnflag", "l_linestatus"], delta=100.0)
+    got = dig.select("l_returnflag", "l_linestatus", "n").toPandas()
+    want = (li.groupBy("l_returnflag", "l_linestatus")
+            .agg(F.count("*").alias("n"))).toPandas()
+    m = got.merge(want, on=["l_returnflag", "l_linestatus"])
+    assert len(m) == len(want)
+    assert (m.n_x == m.n_y).all()
+
+
+def test_compress_property_weight_and_order():
+    """Property: for arbitrary weighted inputs, compression preserves
+    total weight to fp-sum accuracy, keeps means sorted, and bounds the
+    centroid count."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=50, deadline=None)
+    @given(st.lists(st.tuples(
+        st.floats(-1e6, 1e6, allow_nan=False),
+        st.floats(0.001, 1e3, allow_nan=False)), min_size=1, max_size=500))
+    def check(items):
+        m = np.array([x for x, _ in items])
+        w = np.array([x for _, x in items])
+        mm, ww = td_compress(m, w, 50.0)
+        assert np.all(np.diff(mm) >= 0)
+        assert len(mm) <= 50 + 2
+        assert abs(ww.sum() - w.sum()) <= 1e-9 * max(1.0, w.sum())
+
+    check()
