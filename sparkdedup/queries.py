@@ -699,6 +699,46 @@ FROM lineitem GROUP BY 1
 """
 
 
+def q_kll_quantiles_orders(spark, sf_dir):
+    """KLL sketch BUILD + MERGE as a distributed aggregation (reference
+    kll/sketch.go; operators/kll_agg.py — published KLL compactor chain,
+    two-phase: per-partition chains -> per-group retained-item merge),
+    gated through the exact-regime contract the driver already uses for
+    kmv/tuple/cms (NOTES gotcha #7): with k = 4096 >= every group's
+    order count at gate scale, no level ever compacts, the sketch
+    retains every item at weight 1, and its rank estimator returns the
+    EXACT order statistic at rank ceil(q*n) — which the oracle
+    recomputes with a plain window. The probabilistic envelope in
+    compacting mode (rank error ~1.65% at k=200) is pytest-gated in
+    tests/test_kll_agg.py, as is merge with REFERENCE-decoded .sk
+    sketches. qs are exact binary fractions so q*n is the same IEEE
+    double in both engines."""
+    from sparkdedup.operators.kll_agg import kll_agg, kll_agg_quantiles
+
+    o = _read(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_totalprice")
+    sk = kll_agg(o, "o_totalprice", ["o_orderpriority"], k=4096)
+    qs = kll_agg_quantiles(sk, [0.25, 0.5, 0.75, 0.95],
+                           ["o_orderpriority"], round_to=4)
+    return qs.select("o_orderpriority", "q", F.col("value").alias("price"))
+
+
+SQL_KLL_QUANTILES_ORDERS = """
+WITH ranked AS (
+  SELECT o_orderpriority, o_totalprice,
+         row_number() OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice, o_orderkey) AS rn,
+         count(*) OVER (PARTITION BY o_orderpriority) AS cnt
+  FROM orders
+), qs AS (
+  SELECT CAST(unnest([0.25, 0.5, 0.75, 0.95]) AS DOUBLE) AS q
+)
+SELECT r.o_orderpriority, qs.q, round(r.o_totalprice, 4) AS price
+FROM ranked r JOIN qs
+  ON r.rn = greatest(1, CAST(ceil(qs.q * r.cnt) AS BIGINT))
+"""
+
+
 def q_req_topk_prices(spark, sf_dir):
     """REQ sketch (reference req/sketch.go:61-560, HRA mode;
     operators/req_agg.py — published relative-error compactor chain,
@@ -1992,6 +2032,7 @@ QUERIES = {
     "tail_quantiles_prices": q_tail_quantiles_prices,
     "tdigest_prices": q_tdigest_prices,
     "req_topk_prices": q_req_topk_prices,
+    "kll_quantiles_orders": q_kll_quantiles_orders,
     "distinct_users_by_type": q_distinct_users_by_type,
     "hll_distinct_users": q_hll_distinct_users,
     "kmv_distinct_tokens": q_kmv_distinct_tokens,
@@ -2042,6 +2083,7 @@ ORACLES = {
     "tail_quantiles_prices": SQL_TAIL_QUANTILES_PRICES,
     "tdigest_prices": SQL_TDIGEST_PRICES,
     "req_topk_prices": SQL_REQ_TOPK_PRICES,
+    "kll_quantiles_orders": SQL_KLL_QUANTILES_ORDERS,
     "distinct_users_by_type": SQL_DISTINCT_USERS_BY_TYPE,
     "pricing_summary": SQL_PRICING_SUMMARY,
     "top_revenue_orders": SQL_TOP_REVENUE_ORDERS,
