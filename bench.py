@@ -191,13 +191,32 @@ def main() -> int:
     # local[32] cold worker spawn alone is seconds of fixed overhead
     from sparkdedup.operators.signatures import signature_stage
     signature_stage(files.limit(64), DedupConfig()).count()
+
+    # r4 verdict ask #2: the pipeline leg starts ~90s after the suite-level
+    # probes, so a mid-run load burst there was indistinguishable in-file
+    # from a code regression. Bracket the pipeline window with its own
+    # probes (cpu + full-width python, medians of 3) immediately before AND
+    # after, inside the same JSON — a burst shows up as elevated bracket
+    # probes; a regression shows normal probes around a slow window.
+    def _bracket_probe() -> dict:
+        return {
+            "cpu_seconds": round(statistics.median(
+                cpu_probe_once() for _ in range(3)), 4),
+            "spark_py_seconds": round(statistics.median(
+                spark_py_probe_once(spark, cpus) for _ in range(3)), 4),
+        }
+
+    probe_before = _bracket_probe()
     t0 = time.time()
     pipe = DedupPipeline(spark, DedupConfig(), workdir=None,
                          num_partitions=cpus)
     res = pipe.run(files)
     n_clusters = res.clusters.count()
     pipe_sec = time.time() - t0
+    probe_after = _bracket_probe()
     pipeline = {
+        "probe_before": probe_before,
+        "probe_after": probe_after,
         "n_files": n_files,
         "seconds": round(pipe_sec, 3),
         "files_per_sec": round(n_files / pipe_sec, 2),

@@ -211,8 +211,16 @@ def kll_agg(df: DataFrame, value_col: str,
 
 def kll_agg_quantiles(sketches: DataFrame, qs: list[float],
                       group_cols: list[str] | None = None,
-                      round_to: int = 4) -> DataFrame:
-    """(group, q, value) — quantile estimates from kll_agg output."""
+                      round_to: int = 4,
+                      require_single_level: bool = False) -> DataFrame:
+    """(group, q, value) — quantile estimates from kll_agg output.
+
+    require_single_level=True enforces the EXACT-REGIME contract at
+    runtime: callers that promise exact order statistics (k >= every
+    group's count, so no level ever compacted) get a hard task failure —
+    not silently approximate values — if any merged chain holds items
+    above level 0. The check is per-row inside the kernel, so it runs
+    distributed and costs nothing beyond the read it already does."""
     gcols = list(group_cols or [])
     fields = [f for f in sketches.schema.fields if f.name in gcols]
     schema = StructType(fields + [StructField("q", DoubleType()),
@@ -222,8 +230,15 @@ def kll_agg_quantiles(sketches: DataFrame, qs: list[float],
     def run(batches):
         for pdf in batches:
             for _, r in pdf.iterrows():
-                wts = (np.int64(1) << np.asarray(r["levels"],
-                                                 dtype=np.int64))
+                lv = np.asarray(r["levels"], dtype=np.int64)
+                if require_single_level and (lv != 0).any():
+                    raise RuntimeError(
+                        "KLL exact-regime contract violated: merged chain "
+                        f"has items at levels {sorted(set(lv[lv != 0]))} "
+                        "(it compacted). Size k >= the largest group's "
+                        "count, or drop require_single_level to accept "
+                        "the probabilistic envelope.")
+                wts = np.int64(1) << lv
                 vals = kll_quantile(np.asarray(r["values"]), wts, qarr)
                 out = {c: np.repeat(r[c], len(qarr)) for c in gcols}
                 out.update({"q": qarr, "value": np.round(vals, round_to)})

@@ -46,10 +46,24 @@ def grouped_rank_scalable(df: DataFrame, group_cols: list[str],
     Because range partitions are contiguous in the sort key, the stitched
     rank equals the single-window row_number exactly (order_cols + the
     caller's key must form a total order within each group, as row_number
-    determinism already requires)."""
+    determinism already requires).
+
+    The counts branch and the join branch BOTH read `_pid`, so they must
+    see the SAME physical partitioning. Spark's exchange reuse usually
+    guarantees that, but RangePartitioner samples its boundaries with a
+    lineage-dependent seed — if the exchange were ever recomputed per
+    branch (reuse disabled, AQE replan, upstream plan change), `_pid`
+    could disagree between branches and ranks would silently corrupt. So
+    the range-partitioned frame is materialized once via localCheckpoint
+    BEFORE branching: both branches then scan the same pinned RDD (plan
+    shows `Scan ExistingRDD`, zero range exchanges downstream — plan-
+    guarded in test_lsh_caps.py). Trade: a lost executor must recompute
+    from the checkpoint blocks rather than lineage — acceptable for a
+    bounded intermediate, same trade components.py already makes."""
     keys = group_cols + order_cols
     d = (df.repartitionByRange(num_partitions, *[F.col(c) for c in keys])
-           .withColumn("_pid", F.spark_partition_id()))
+           .withColumn("_pid", F.spark_partition_id())
+           .localCheckpoint(eager=False))
     wloc = (Window.partitionBy("_pid", *group_cols)
             .orderBy(*[F.col(c) for c in order_cols]))
     d = d.withColumn("_lrn", F.row_number().over(wloc))

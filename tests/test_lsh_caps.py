@@ -80,6 +80,28 @@ def test_mega_bucket_no_bucket_wide_window(spark):
         assert "_pid" in cols, f"bucket-wide window spec found: {spec}"
 
 
+def test_grouped_rank_branches_read_materialized_rdd(spark):
+    """Plan guard (r4 advice): the counts branch and the join branch both
+    read `_pid`, so they must see ONE physical range partitioning. The
+    operator materializes the range-partitioned frame (localCheckpoint)
+    before branching — the final plan must therefore scan the pinned RDD
+    and contain NO live rangepartitioning exchange that could be
+    recomputed per-branch with different sampled boundaries."""
+    from sparkdedup.operators.lsh import grouped_rank_scalable
+
+    rng = np.random.default_rng(13)
+    rows = [(int(g), int(rng.integers(0, 5)), int(i))
+            for g in range(3) for i in range(50)]
+    df = spark.createDataFrame(rows, "g long, simhash long, file_id long")
+    out = grouped_rank_scalable(df, ["g"], ["simhash", "file_id"],
+                                num_partitions=8)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "ExistingRDD" in plan or "Scan ExistingRDD" in plan
+    assert "rangepartitioning" not in plan.lower(), (
+        "live range exchange in the stitched-rank plan — branch pids may "
+        f"diverge:\n{plan}")
+
+
 def test_neighbor_window_orders_by_simhash(spark):
     """Members with identical simhash must still pair (adjacent ranks)."""
     cfg = DedupConfig(bucket_cap=4, neighbor_window=1)
