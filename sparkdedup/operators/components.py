@@ -37,7 +37,16 @@ def connected_components(
     if checkpoint:
         sym = sym.localCheckpoint()
 
-    labels = nodes.select(F.col("file_id"), F.col("file_id").alias("label"))
+    # Iterate ONLY over edge-touched nodes: a node with no edges keeps
+    # label == file_id at every step (neighbor-min finds no neighbor,
+    # pointer-jump follows the identity), so singletons — the vast
+    # majority of a dedup corpus — pay zero iteration cost. They rejoin
+    # via one left join at the end. At 64k files / 10.5k edges this
+    # shrinks every per-iteration join, groupBy, checkpoint, and
+    # convergence scan ~4x; at 10^12 files with a few-percent dup rate
+    # it is the difference between iterating over 10^12 and 10^10 rows.
+    touched = sym.select(F.col("a").alias("file_id")).distinct()
+    labels = touched.select(F.col("file_id"), F.col("file_id").alias("label"))
     if checkpoint:
         labels = labels.localCheckpoint()
     prev_sum = None  # lazily computed on first convergence check
@@ -88,6 +97,17 @@ def connected_components(
         ).first()["s"]
         labels = jump
         if new_sum == prev_sum:
-            return labels.withColumnRenamed("label", "cluster_id"), it
+            return _with_singletons(nodes, labels), it
         prev_sum = new_sum
-    return labels.withColumnRenamed("label", "cluster_id"), cfg.max_cc_iters
+    return _with_singletons(nodes, labels), cfg.max_cc_iters
+
+
+def _with_singletons(nodes: DataFrame, labels: DataFrame) -> DataFrame:
+    """Re-attach edge-less nodes (their own cluster) to the converged
+    labels of the edge-touched subgraph."""
+    return (
+        nodes.select("file_id")
+        .join(labels, "file_id", "left")
+        .select("file_id",
+                F.coalesce("label", "file_id").alias("cluster_id"))
+    )

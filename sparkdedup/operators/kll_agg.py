@@ -209,6 +209,60 @@ def kll_agg(df: DataFrame, value_col: str,
         lambda key, pdf: _merge(pdf), mid)
 
 
+def kll_rank_cdf_pmf(values: np.ndarray, weights: np.ndarray,
+                     xs: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """INCLUSIVE normalized rank / CDF / PMF readers over retained items
+    (reference kll/items_sketch.go:254-440 sorted-view surface): the
+    chain already retains (value, 2^level weight) pairs, so rank(x) is a
+    sorted cumsum lookup — cdf[i] = weight of items <= xs[i] over total
+    weight, pmf[i] = cdf[i] - cdf[i-1] (mass in (xs[i-1], xs[i]]).
+    EXACT whenever the chain never compacted (the same exact-regime
+    contract kll_agg_quantiles gates); the eps*n rank envelope otherwise.
+    Returns (cdf, pmf), each len(xs)."""
+    order = np.argsort(values, kind="stable")
+    v, w = values[order], weights[order].astype(np.float64)
+    cum = np.cumsum(w)
+    total = cum[-1]
+    idx = np.searchsorted(v, np.asarray(xs, dtype=np.float64),
+                          side="right")
+    cdf = np.where(idx > 0, cum[np.maximum(idx - 1, 0)], 0.0) / total
+    pmf = np.diff(cdf, prepend=0.0)
+    return cdf, pmf
+
+
+def kll_agg_cdf(sketches: DataFrame, split_points: list[float],
+                group_cols: list[str] | None = None,
+                round_to: int = 6,
+                require_single_level: bool = False) -> DataFrame:
+    """(group, x, cdf, pmf) per split point — the rank/CDF/PMF reader
+    over kll_agg output, same exact-regime guard semantics as
+    kll_agg_quantiles (require_single_level raises on a compacted chain
+    instead of silently emitting estimates)."""
+    gcols = list(group_cols or [])
+    fields = [f for f in sketches.schema.fields if f.name in gcols]
+    schema = StructType(fields + [StructField("x", DoubleType()),
+                                  StructField("cdf", DoubleType()),
+                                  StructField("pmf", DoubleType())])
+    xs = np.asarray(sorted(split_points), dtype=np.float64)
+
+    def run(batches):
+        for pdf in batches:
+            for _, r in pdf.iterrows():
+                lv = np.asarray(r["levels"], dtype=np.int64)
+                if require_single_level and (lv != 0).any():
+                    raise RuntimeError(
+                        "KLL exact-regime contract violated: chain "
+                        "compacted; see kll_agg_quantiles.")
+                cdf, pmf = kll_rank_cdf_pmf(
+                    np.asarray(r["values"]), np.int64(1) << lv, xs)
+                out = {c: np.repeat(r[c], len(xs)) for c in gcols}
+                out.update({"x": xs, "cdf": np.round(cdf, round_to),
+                            "pmf": np.round(pmf, round_to)})
+                yield pd.DataFrame(out)
+
+    return sketches.mapInPandas(run, schema)
+
+
 def kll_agg_quantiles(sketches: DataFrame, qs: list[float],
                       group_cols: list[str] | None = None,
                       round_to: int = 4,

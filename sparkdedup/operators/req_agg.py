@@ -45,12 +45,21 @@ from pyspark.sql.types import (ArrayType, DoubleType, LongType, StructField,
 
 
 class _ReqChain:
-    """Compactor chain over float64 values, HRA mode."""
+    """Compactor chain over float64 values.
 
-    def __init__(self, k: int):
+    hra=True (default) protects the HIGH end of every level buffer —
+    relative rank error at rank r scales with the tail mass n - r.
+    hra=False is LRA (low-rank-accuracy, reference req/sketch.go:47-76's
+    other mode): the mirror image — the LOWEST `protect` items survive
+    every compaction at full resolution, so p0.001-style HEAD quantiles
+    stay meaningful, and level 0's protected bottom retains the true
+    global bottom-k exactly (the property req_bottomk_prices gates)."""
+
+    def __init__(self, k: int, hra: bool = True):
         if k < 4 or k % 2:
             raise ValueError("k must be even and >= 4")
         self.k = k
+        self.hra = hra
         self.levels: list[list[float]] = [[]]
         self.coins = 0  # compaction counter -> deterministic coin
         self.n = 0.0
@@ -79,20 +88,26 @@ class _ReqChain:
             cap = self._capacity(lvl)
             if len(buf) > cap:
                 arr = np.sort(np.asarray(buf, dtype=np.float64))
-                # HRA: protect the top half; compact the low section
+                # protect one end of the sorted buffer; compact the other
+                # (HRA: keep top / compact low; LRA: keep bottom /
+                # compact high). The compacted section must stay even so
+                # total weight is exact in both modes.
                 protect = self.k
-                sec = arr[:len(arr) - protect]
-                if len(sec) % 2:  # keep section even so weight is exact
+                sec = (arr[:len(arr) - protect] if self.hra
+                       else arr[protect:])
+                if len(sec) % 2:
                     protect += 1
-                    sec = arr[:len(arr) - protect]
-                keep_top = arr[len(arr) - protect:]
+                    sec = (arr[:len(arr) - protect] if self.hra
+                           else arr[protect:])
+                keep = (arr[len(arr) - protect:] if self.hra
+                        else arr[:protect])
                 offset = self.coins & 1
                 self.coins += 1
                 promoted = sec[offset::2]
                 if lvl + 1 >= len(self.levels):
                     self.levels.append([])
                 self.levels[lvl + 1].extend(promoted.tolist())
-                self.levels[lvl] = keep_top.tolist()
+                self.levels[lvl] = keep.tolist()
             lvl += 1
 
     def items(self) -> tuple[np.ndarray, np.ndarray]:
@@ -134,8 +149,11 @@ def _sketch_schema(base_fields: list[StructField]) -> StructType:
 
 
 def req_agg(df: DataFrame, value_col: str,
-            group_cols: list[str] | None = None, k: int = 64) -> DataFrame:
-    """Aggregate `value_col` into one REQ (HRA) sketch per group.
+            group_cols: list[str] | None = None, k: int = 64,
+            hra: bool = True) -> DataFrame:
+    """Aggregate `value_col` into one REQ sketch per group (hra=True:
+    high-rank-accuracy; hra=False: LRA, the low-end mirror — reference
+    req/sketch.go:47-76 supports both).
 
     Output: group cols + (levels array<long> — per retained item,
     values array<double>, n double EXACT, min_item, max_item exact)."""
@@ -179,7 +197,7 @@ def req_agg(df: DataFrame, value_col: str,
                     continue
                 ch = chains.get(key)
                 if ch is None:
-                    ch = chains[key] = _ReqChain(k)
+                    ch = chains[key] = _ReqChain(k, hra)
                     stats[key] = [0.0, np.inf, -np.inf]
                 ch.update(vv)
                 st = stats[key]
@@ -218,7 +236,7 @@ def req_agg(df: DataFrame, value_col: str,
     partial = df.select(*(gcols + [value_col])).mapInPandas(_partial, mid)
 
     def _merge(pdf: pd.DataFrame) -> pd.DataFrame:
-        ch = _ReqChain(k)
+        ch = _ReqChain(k, hra)
         for _, r in pdf.iterrows():
             lv = np.asarray(r["levels"], dtype=np.int64)
             va = np.asarray(r["values"], dtype=np.float64)

@@ -758,6 +758,46 @@ FROM ranked r JOIN qs
 """
 
 
+def q_kll_rank_cdf_orders(spark, sf_dir):
+    """KLL rank/CDF/PMF READERS over kll_agg sketches (reference
+    kll/items_sketch.go:254-440 sorted-view surface; r4 verdict ask #8):
+    the merged chain retains (value, 2^level) pairs, so CDF is a sorted
+    cumsum lookup and PMF its first difference — read per group at three
+    fixed price split points, under the SAME exact-regime contract as
+    kll_quantiles_orders (k sized from footer rows, require_single_level
+    hard guard): every retained weight is 1, so cdf = count(v <= x)/n
+    exactly, and both engines compute the identical
+    integer-count / integer-n double. Oracle recomputes the counts with
+    a conditional aggregate + lag window. Estimation-mode accuracy is
+    pytest-gated in tests/test_kll_agg.py."""
+    from sparkdedup.operators.kll_agg import kll_agg, kll_agg_cdf
+
+    o = _read(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_totalprice")
+    k = max(4096, _table_rows(sf_dir, "orders"))
+    sk = kll_agg(o, "o_totalprice", ["o_orderpriority"], k=k)
+    return kll_agg_cdf(sk, [50000.0, 150000.0, 300000.0],
+                       ["o_orderpriority"], round_to=6,
+                       require_single_level=True)
+
+
+SQL_KLL_RANK_CDF_ORDERS = """
+WITH s AS (
+  SELECT CAST(unnest([50000.0, 150000.0, 300000.0]) AS DOUBLE) AS x
+), c AS (
+  SELECT o.o_orderpriority, s.x,
+         CAST(sum(CASE WHEN o.o_totalprice <= s.x THEN 1 ELSE 0 END)
+              AS DOUBLE) / count(*) AS cdf_raw
+  FROM orders o CROSS JOIN s
+  GROUP BY 1, 2
+)
+SELECT o_orderpriority, x, round(cdf_raw, 6) AS cdf,
+       round(cdf_raw - coalesce(lag(cdf_raw) OVER (
+           PARTITION BY o_orderpriority ORDER BY x), 0.0), 6) AS pmf
+FROM c
+"""
+
+
 def q_req_topk_prices(spark, sf_dir):
     """REQ sketch (reference req/sketch.go:61-560, HRA mode;
     operators/req_agg.py — published relative-error compactor chain,
@@ -791,6 +831,71 @@ SELECT l_returnflag, rn AS rank, round(v, 4) AS price FROM (
                             ORDER BY l_extendedprice DESC) AS rn
   FROM lineitem) t
 WHERE rn <= 5
+"""
+
+
+def q_req_bottomk_prices(spark, sf_dir):
+    """REQ sketch in LRA mode (reference req/sketch.go:47-76 supports
+    both accuracy orientations; operators/req_agg.py hra=False — r4
+    verdict ask #6) exercised through LRA's DEFINING exact property, the
+    mirror of q_req_topk_prices: in LRA mode the protected BOTTOM of
+    level 0 always retains the true global bottom-k items, so extreme
+    HEAD order statistics come back EXACT. Emits each returnflag's
+    bottom-5 prices read from the sketch's weight-1 level; the oracle
+    recomputes them with a plain ascending window. The LRA relative-error
+    envelope at low ranks is pytest-gated in tests/test_req_agg.py."""
+    from sparkdedup.operators.req_agg import req_agg
+
+    li = _read(spark, sf_dir, "lineitem")
+    sk = req_agg(li, "l_extendedprice", ["l_returnflag"], k=64, hra=False)
+    z = sk.select("l_returnflag",
+                  F.explode(F.arrays_zip("levels", "values")).alias("it"))
+    lvl0 = z.filter(F.col("it.levels") == 0).select(
+        "l_returnflag", F.col("it.values").alias("price"))
+    w = Window.partitionBy("l_returnflag").orderBy(F.asc("price"))
+    return (lvl0.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 5)
+            .select("l_returnflag", F.col("rank").cast("long").alias("rank"),
+                    F.round("price", 4).alias("price")))
+
+
+SQL_REQ_BOTTOMK_PRICES = """
+SELECT l_returnflag, rn AS rank, round(v, 4) AS price FROM (
+  SELECT l_returnflag, l_extendedprice AS v,
+         row_number() OVER (PARTITION BY l_returnflag
+                            ORDER BY l_extendedprice ASC) AS rn
+  FROM lineitem) t
+WHERE rn <= 5
+"""
+
+
+def q_head_quantiles_prices(spark, sf_dir):
+    """EXTREME-head quantiles — the LRA orientation's use case and the
+    mirror of q_tail_quantiles_prices: p1 / p0.1 / p0.01 / min of
+    l_extendedprice per returnflag, exact at the gate scale (Spark
+    percentile == DuckDB quantile_cont, both linear-interpolating at
+    rank p*(n-1)). The LRA sketch's probabilistic envelope at these
+    head ranks is pytest-gated in tests/test_req_agg.py — the analog of
+    the HRA envelope the tail row leans on."""
+    li = _read(spark, sf_dir, "lineitem")
+    pct = F.percentile("l_extendedprice", F.array(
+        F.lit(0.01), F.lit(0.001), F.lit(0.0001)))
+    return (
+        li.groupBy("l_returnflag")
+        .agg(F.round(pct[0], 4).alias("p01"),
+             F.round(pct[1], 4).alias("p001"),
+             F.round(pct[2], 4).alias("p0001"),
+             F.round(F.min("l_extendedprice"), 4).alias("pmin"))
+    )
+
+
+SQL_HEAD_QUANTILES_PRICES = """
+SELECT l_returnflag,
+       round(quantile_cont(l_extendedprice, 0.01), 4) AS p01,
+       round(quantile_cont(l_extendedprice, 0.001), 4) AS p001,
+       round(quantile_cont(l_extendedprice, 0.0001), 4) AS p0001,
+       round(min(l_extendedprice), 4) AS pmin
+FROM lineitem GROUP BY 1
 """
 
 
@@ -2058,6 +2163,9 @@ QUERIES = {
     "tail_quantiles_prices": q_tail_quantiles_prices,
     "tdigest_prices": q_tdigest_prices,
     "req_topk_prices": q_req_topk_prices,
+    "req_bottomk_prices": q_req_bottomk_prices,
+    "head_quantiles_prices": q_head_quantiles_prices,
+    "kll_rank_cdf_orders": q_kll_rank_cdf_orders,
     "kll_quantiles_orders": q_kll_quantiles_orders,
     "distinct_users_by_type": q_distinct_users_by_type,
     "hll_distinct_users": q_hll_distinct_users,
@@ -2109,6 +2217,9 @@ ORACLES = {
     "tail_quantiles_prices": SQL_TAIL_QUANTILES_PRICES,
     "tdigest_prices": SQL_TDIGEST_PRICES,
     "req_topk_prices": SQL_REQ_TOPK_PRICES,
+    "req_bottomk_prices": SQL_REQ_BOTTOMK_PRICES,
+    "head_quantiles_prices": SQL_HEAD_QUANTILES_PRICES,
+    "kll_rank_cdf_orders": SQL_KLL_RANK_CDF_ORDERS,
     "kll_quantiles_orders": SQL_KLL_QUANTILES_ORDERS,
     "distinct_users_by_type": SQL_DISTINCT_USERS_BY_TYPE,
     "pricing_summary": SQL_PRICING_SUMMARY,

@@ -138,3 +138,57 @@ def test_spark_operator_per_group(spark):
     mm = qs.merge(want, on="l_returnflag")
     spread = want.hi.max() - want.lo.min()
     assert (abs(mm.value - mm.p50) <= 0.05 * spread).all()
+
+
+def test_cdf_pmf_exact_regime():
+    """Single-level chain (k >= n): cdf = count(v <= x)/n exactly, pmf
+    sums back to the cdf — the contract q_kll_rank_cdf_orders gates."""
+    from sparkdedup.operators.kll_agg import kll_rank_cdf_pmf
+
+    rng = np.random.default_rng(41)
+    v = rng.uniform(0, 100, 3000)
+    ch = _chain_over(v, k=4096)
+    vals, wts = ch.items()
+    assert (wts == 1).all()
+    xs = np.array([-1.0, 25.0, 50.0, 99.999, 150.0])
+    cdf, pmf = kll_rank_cdf_pmf(vals, wts, xs)
+    want = np.array([(v <= x).sum() / len(v) for x in xs])
+    assert np.array_equal(cdf, want)
+    assert np.allclose(np.cumsum(pmf), cdf)
+    assert cdf[0] == 0.0 and cdf[-1] == 1.0
+
+
+def test_cdf_estimation_envelope():
+    """Compacting regime (k=200): |cdf_est - cdf_true| <= eps with the
+    KLL additive rank envelope (~1.65%/k-normalized at k=200, 3x margin)."""
+    from sparkdedup.operators.kll_agg import kll_rank_cdf_pmf
+
+    rng = np.random.default_rng(43)
+    n = 200_000
+    v = rng.standard_normal(n)
+    ch = _chain_over(v, k=200)
+    vals, wts = ch.items()
+    xs = np.array([-2.0, -1.0, 0.0, 1.0, 2.0])
+    cdf, _ = kll_rank_cdf_pmf(vals, wts, xs)
+    want = np.array([(v <= x).sum() / n for x in xs])
+    assert np.abs(cdf - want).max() <= 0.05
+
+
+def test_quantiles_require_single_level_guard(spark):
+    """The exact-regime runtime guard must fire on a compacted chain and
+    stay silent on a single-level one (r4 advice: no silently-approximate
+    values behind an exact contract)."""
+    rng = np.random.default_rng(47)
+    big = rng.standard_normal(5000)
+
+    def chain_df(values, k):
+        df = spark.createDataFrame(
+            [(float(x),) for x in values], "v double")
+        return kll_agg(df, "v", None, k=k)
+
+    got = kll_agg_quantiles(chain_df(big[:100], 4096), [0.5], None,
+                            require_single_level=True).toPandas()
+    assert len(got) == 1
+    with pytest.raises(Exception, match="exact-regime contract"):
+        kll_agg_quantiles(chain_df(big, 16), [0.5], None,
+                          require_single_level=True).toPandas()
