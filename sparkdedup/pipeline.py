@@ -199,8 +199,16 @@ class DedupPipeline:
             edges = near.unionByName(exact_e)
 
             if self.enable_containment:
+                # this eager localCheckpoint is the first job to touch
+                # rep_sigs, so it also pays the cache materialization —
+                # time it as its own stage so the pipeline wall fully
+                # decomposes (found while chasing the scaling tail: ~50s
+                # at N=1 on 64k files was invisible to per-stage metrics)
+                t_cc0 = time.time()
                 cont_cand = containment_candidates(rep_sigs, cfg)
                 cont_cand = cont_cand.localCheckpoint()
+                self._write_metrics("containment_candidates", {
+                    "seconds": round(time.time() - t_cc0, 3)})
                 # content is re-joined ONLY for candidate ids: semi-join the
                 # (small) candidate id set against the signature keys and
                 # broadcast it into the files scan — the corpus content

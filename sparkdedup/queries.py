@@ -1918,7 +1918,10 @@ def q_varopt_orders(spark, sf_dir):
                     F.round("adj_weight", 4).alias("adj_weight"))
 
 
-SQL_VAROPT_ORDERS = f"""
+# Shared VarOpt sample replay (the full draw, adj_weight UNROUNDED) —
+# SQL_VAROPT_ORDERS gates the per-row sample; SQL_VAROPT_SUBSET_SUM
+# aggregates the same replayed sample into HT subset-sum estimates.
+_VAROPT_SAMPLE_SQL = f"""
 WITH base AS (
   SELECT o_orderpriority AS grp, o_orderkey,
          CAST(o_totalprice AS DOUBLE) AS w,
@@ -1957,12 +1960,54 @@ WITH base AS (
                           ROWS UNBOUNDED PRECEDING) AS cum
   FROM p
 )
-SELECT grp AS o_orderpriority, o_orderkey,
-       round(CASE WHEN cnt <= 50 OR rn < hf THEN w ELSE tau END, 4)
-         AS adj_weight
+SELECT grp, o_orderkey,
+       CASE WHEN cnt <= 50 OR rn < hf THEN w ELSE tau END AS adj_w
 FROM cm
 WHERE cnt <= 50 OR rn < hf
    OR floor(cum - {_SYS_OFFSET!r}) > floor(cum - pi - {_SYS_OFFSET!r})
+"""
+
+SQL_VAROPT_ORDERS = f"""
+SELECT grp AS o_orderpriority, o_orderkey, round(adj_w, 4) AS adj_weight
+FROM ({_VAROPT_SAMPLE_SQL})
+"""
+
+
+def q_varopt_subset_sum(spark, sf_dir):
+    """EstimateSubsetSum over the VarOpt sample (reference
+    sampling/varopt_items_sketch.go EstimateSubsetSum surface;
+    operators/sampling.py:373-396): the Horvitz-Thompson subset-sum
+    estimate is sum(adj_weight) over the sampled rows matching a
+    predicate — here a pseudo-random ~25% subset (o_orderkey % 4 = 0) —
+    plus the full-sample total, which equals the group total EXACTLY by
+    the HT identity (pytest-gated; the gate here verifies both sums
+    end-to-end through the same md5-replayed draw as varopt_orders).
+    Both engines sum the identical <=50-row sample and round the SUM at
+    4dp, so fp reorder noise (~1e-7 at these magnitudes) is far inside
+    the rounding granularity."""
+    from sparkdedup.operators.sampling import varopt_sample
+
+    o = _read(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice")
+    key = F.md5(F.concat(F.lit("v|"), F.col("o_orderkey").cast("string")))
+    s = varopt_sample(o, k=50, weight_col="o_totalprice",
+                      group_cols=["o_orderpriority"], order_key=key,
+                      offset=_SYS_OFFSET)
+    return (s.groupBy("o_orderpriority")
+            .agg(F.round(F.sum(F.when(F.col("o_orderkey") % 4 == 0,
+                                      F.col("adj_weight"))
+                               .otherwise(F.lit(0.0))), 4)
+                 .alias("est_subset"),
+                 F.round(F.sum("adj_weight"), 4).alias("est_total")))
+
+
+SQL_VAROPT_SUBSET_SUM = f"""
+SELECT grp AS o_orderpriority,
+       round(sum(CASE WHEN o_orderkey % 4 = 0 THEN adj_w ELSE 0.0 END), 4)
+         AS est_subset,
+       round(sum(adj_w), 4) AS est_total
+FROM ({_VAROPT_SAMPLE_SQL})
+GROUP BY 1
 """
 
 
@@ -2198,6 +2243,7 @@ QUERIES = {
     "regional_supplier_volume": q_regional_supplier_volume,
     "part_profit_by_nation": q_part_profit_by_nation,
     "varopt_orders": q_varopt_orders,
+    "varopt_subset_sum": q_varopt_subset_sum,
     "reservoir_union_orders": q_reservoir_union_orders,
     "streaming_hourly_rollup": q_streaming_hourly_rollup,
     "streaming_first_seen": q_streaming_first_seen,
@@ -2251,6 +2297,7 @@ ORACLES = {
     "regional_supplier_volume": SQL_REGIONAL_SUPPLIER_VOLUME,
     "part_profit_by_nation": SQL_PART_PROFIT_BY_NATION,
     "varopt_orders": SQL_VAROPT_ORDERS,
+    "varopt_subset_sum": SQL_VAROPT_SUBSET_SUM,
     "reservoir_union_orders": SQL_RESERVOIR_UNION_ORDERS,
     "streaming_hourly_rollup": SQL_STREAMING_HOURLY_ROLLUP,
     "streaming_first_seen": SQL_STREAMING_FIRST_SEEN,
