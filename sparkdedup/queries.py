@@ -1297,6 +1297,56 @@ WHERE a.vec_id < b.vec_id
 """
 
 
+def q_embedding_dedup_docs(spark, sf_dir):
+    """Embedding-cosine near-duplicate DEDUP (the semantic-dedup shape of
+    a training-data pipeline): exact cosine pairs at tau=0.4 (blocked
+    GEMM tiles, same kernel as embedding_neardup_pairs) -> OUR iterative
+    connected-components operator -> one cluster id per vector, keep-min
+    representative per component (singletons map to themselves). The
+    oracle recomputes the exact pair set in SQL and closes it with a
+    recursive CTE — pair recall, the threshold, and the CC fixpoint all
+    gated at once (the embedding-space mirror of neardup_clusters_docs).
+    tau=0.4 is where this fixture has real cluster structure (59-66
+    pairs at gate scales; >= 0.5 is empty)."""
+    from sparkdedup.config import DedupConfig
+    from sparkdedup.operators.components import connected_components
+    from sparkdedup.operators.similarity import cosine_pairs_blocked
+
+    emb = _read(spark, sf_dir, "embeddings")
+    n = _table_rows(sf_dir, "embeddings")
+    pairs = cosine_pairs_blocked(emb, threshold=0.4,
+                                 n_blocks=max(1, -(-n // 2048)))
+    clusters, _ = connected_components(
+        pairs.select("src", "dst"),
+        emb.select(F.col("vec_id").alias("file_id")),
+        DedupConfig(), checkpoint=True)
+    return clusters.select(F.col("file_id").alias("vec_id"), "cluster_id")
+
+
+SQL_EMBEDDING_DEDUP_DOCS = """
+WITH RECURSIVE sim AS (
+  SELECT a.vec_id AS src, b.vec_id AS dst
+  FROM embeddings a, embeddings b
+  WHERE a.vec_id < b.vec_id
+    AND round(
+          list_sum(list_transform(range(1, len(a.embedding) + 1),
+            i -> CAST(a.embedding[i] AS DOUBLE)
+                 * CAST(b.embedding[i] AS DOUBLE)))
+          / (sqrt(list_sum(list_transform(a.embedding,
+               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+             * sqrt(list_sum(list_transform(b.embedding,
+               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4) >= 0.4
+), edges AS (
+  SELECT src, dst FROM sim UNION SELECT dst, src FROM sim
+), reach (src, dst) AS (
+  SELECT vec_id, vec_id FROM embeddings
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+)
+SELECT src AS vec_id, min(dst) AS cluster_id FROM reach GROUP BY 1
+"""
+
+
 def q_simhash_near_docs(spark, sf_dir):
     """SimHash near-dup pairs (hamming <= 4) with the pair search done by
     OUR exact pigeonhole piece-join index (operators/simhash_index.py).
@@ -1894,6 +1944,62 @@ SELECT DISTINCT md5(text) AS text_hash FROM documents
 """
 
 
+def q_streaming_heavy_hitters(spark, sf_dir):
+    """The CUSTOM STATEFUL streaming operator under the driver gate:
+    per-event-type heavy hitters via applyInPandasWithState
+    (streaming/stateful.py — the streaming lift of the reference's
+    Misra-Gries frequent-items sketch, frequencies/longs_sketch.go:
+    402-466), drained with AvailableNow. Gated through the exact-regime
+    contract: max_map_size is sized from the events FOOTER row count
+    (>= any group's distinct-item count), so the bounded-state purge
+    never fires, every emission carries exact running counts, and
+    counts only GROW across triggers — so max(est_count) per
+    (group, item) over the sink is the exact total regardless of how
+    AvailableNow split the batches. The final top-10 is computed
+    deterministically post-drain (count desc, item string asc); the
+    oracle recomputes it with a plain GROUP BY + window. The PURGING
+    regime (bounded state, undercount <= cumulative offset) is
+    pytest-gated in tests/test_sampling_stateful.py."""
+    import uuid
+
+    from sparkdedup.streaming.stateful import streaming_heavy_hitters
+
+    batch = _read(spark, sf_dir, "events")
+    stream = (spark.readStream.schema(batch.schema)
+              .option("pathGlobFilter", "events.parquet").parquet(sf_dir))
+    cap = _table_rows(sf_dir, "events")
+    hh = streaming_heavy_hitters(stream, "event_type", "user_id",
+                                 max_map_size=cap, top_k=cap)
+    name = f"shh_{uuid.uuid4().hex[:12]}"
+    ckpt = _stream_ckpt("heavy_hitters")
+    q = (hh.writeStream.outputMode("update").format("memory")
+         .queryName(name).option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    sink = spark.table(name)
+    final = sink.groupBy("group", "item").agg(
+        F.max("est_count").alias("n"))
+    w = Window.partitionBy("group").orderBy(F.desc("n"), F.asc("item"))
+    return (final.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 10)
+            .select(F.col("group").alias("event_type"),
+                    F.col("item").alias("user_id"),
+                    F.col("n").cast("long").alias("n"),
+                    F.col("rank").cast("long").alias("rank")))
+
+
+SQL_STREAMING_HEAVY_HITTERS = """
+SELECT event_type, user_id, n, rank FROM (
+  SELECT event_type, CAST(user_id AS VARCHAR) AS user_id,
+         count(*) AS n,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY count(*) DESC,
+                                     CAST(user_id AS VARCHAR)) AS rank
+  FROM events GROUP BY event_type, user_id) t
+WHERE rank <= 10
+"""
+
+
 _SYS_OFFSET = 0.3819660112501051  # deterministic systematic-draw offset
 
 
@@ -2226,6 +2332,7 @@ QUERIES = {
     "cube_sales": q_cube_sales,
     "asof_last_view": q_asof_last_view,
     "embedding_neardup_pairs": q_embedding_neardup_pairs,
+    "embedding_dedup_docs": q_embedding_dedup_docs,
     "simhash_near_docs": q_simhash_near_docs,
     "pivot_status": q_pivot_status,
     "range_join_activity": q_range_join_activity,
@@ -2247,6 +2354,7 @@ QUERIES = {
     "reservoir_union_orders": q_reservoir_union_orders,
     "streaming_hourly_rollup": q_streaming_hourly_rollup,
     "streaming_first_seen": q_streaming_first_seen,
+    "streaming_heavy_hitters": q_streaming_heavy_hitters,
 }
 
 ORACLES = {
@@ -2279,6 +2387,7 @@ ORACLES = {
     "cube_sales": SQL_CUBE_SALES,
     "asof_last_view": SQL_ASOF_LAST_VIEW,
     "embedding_neardup_pairs": SQL_EMBEDDING_NEARDUP_PAIRS,
+    "embedding_dedup_docs": SQL_EMBEDDING_DEDUP_DOCS,
     "pivot_status": SQL_PIVOT_STATUS,
     "range_join_activity": SQL_RANGE_JOIN_ACTIVITY,
     "minhash_lsh_docs": SQL_MINHASH_LSH_DOCS,
@@ -2301,6 +2410,7 @@ ORACLES = {
     "reservoir_union_orders": SQL_RESERVOIR_UNION_ORDERS,
     "streaming_hourly_rollup": SQL_STREAMING_HOURLY_ROLLUP,
     "streaming_first_seen": SQL_STREAMING_FIRST_SEEN,
+    "streaming_heavy_hitters": SQL_STREAMING_HEAVY_HITTERS,
     # hll_distinct_users / hll_union_users: deliberately rows-only — the
     # HLL estimate is approximate by construction and Spark's DataSketches
     # HLL binary is not ANSI-SQL-expressible; accuracy + binary compat are
