@@ -107,6 +107,21 @@ def candidate_pairs(signatures: DataFrame, cfg: DedupConfig) -> DataFrame:
     # Window.partitionBy(band, band_hash) would gather an entire mega-bucket
     # into the one task that sorts it — exactly the skew this branch exists
     # to avoid — so no per-task gather here ever exceeds a range partition.
+    #
+    # Adaptive skip: when NO bucket exceeds the cap (the common case once
+    # exact-sha pre-clustering has removed identical files), the whole
+    # branch — including repartitionByRange's boundary-sampling job and
+    # the localCheckpoint materialization inside grouped_rank_scalable —
+    # is pure overhead (~1-2s of fixed job cost per invocation here;
+    # the same class of waste at cluster scale). One limit(1) probe over
+    # the already-aggregated bucket-size table decides; `sizes` is one
+    # row per occupied bucket, so the probe is a short-circuit scan of
+    # an aggregate the plan computes anyway, never of the corpus.
+    has_big = bool(sizes.filter(F.col("bsz") > cfg.bucket_cap)
+                   .limit(1).count())
+    if not has_big:
+        return small_pairs.distinct()
+
     big = bands.filter(F.col("bsz") > cfg.bucket_cap)
     nparts = int(signatures.sparkSession.conf.get(
         "spark.sql.shuffle.partitions", "32"))

@@ -59,3 +59,58 @@ def test_round_trip_edge_cases():
                           is_empty=False, is_ordered=True)
     b = decode_theta(encode_theta(single), 9001)
     assert b.num_retained == 1 and int(b.entries[0]) == 12345
+
+
+# ----------------------------------------------------------- v4 compressed
+
+V4_FILES = [
+    f for f in glob.glob(str(DATA / "*_generated_files" / "theta_*.sk"))
+    if Path(f).read_bytes()[1] == 4
+]
+
+
+@pytest.mark.skipif(not V4_FILES, reason="no v4 golden vectors")
+@pytest.mark.parametrize("path", V4_FILES, ids=lambda p: Path(p).name)
+def test_v4_reencode_golden_byte_identical(path):
+    """decode v4 -> encode_theta_v4 -> byte-identical to the reference's
+    own compressed output (Java, C++ AND Go emit the identical stream —
+    the strongest possible check of the delta/bit-width/count rules)."""
+    from sparkdedup.sketch_io.theta_encoder import encode_theta_v4
+
+    raw = Path(path).read_bytes()
+    sk = decode_theta(raw, 9001)
+    assert encode_theta_v4(sk) == raw
+
+
+def test_v4_round_trip_synthetic():
+    from sparkdedup.sketch_io.theta_encoder import encode_theta_v4
+
+    vals = np.arange(80_000, dtype=np.uint64)
+    h1, _ = murmur3_128_int64_single(vals, 9001)
+    h = np.unique(h1 >> np.uint64(1))
+    for n in (2, 7, 8, 9, 4096):  # cross the block-of-8 packing boundary
+        sk = ThetaCompact(theta=int(h[n]), entries=h[:n].copy(),
+                          seed_hash=compute_seed_hash(9001),
+                          is_empty=False, is_ordered=True)
+        back = decode_theta(encode_theta_v4(sk), 9001)
+        assert back.theta == sk.theta
+        assert np.array_equal(back.entries, sk.entries)
+
+
+def test_compressed_dispatch_falls_back_to_v3():
+    from sparkdedup.sketch_io.theta_encoder import encode_theta_compressed
+
+    empty = ThetaCompact(theta=(1 << 63) - 1, entries=np.empty(0, np.uint64),
+                         seed_hash=compute_seed_hash(9001),
+                         is_empty=True, is_ordered=True)
+    assert encode_theta_compressed(empty)[1] == 3  # v3 fallback
+    single = ThetaCompact(theta=(1 << 63) - 1,
+                          entries=np.array([12345], np.uint64),
+                          seed_hash=compute_seed_hash(9001),
+                          is_empty=False, is_ordered=True)
+    assert encode_theta_compressed(single)[1] == 3
+    many = ThetaCompact(theta=(1 << 63) - 1,
+                        entries=np.arange(1, 100, dtype=np.uint64),
+                        seed_hash=compute_seed_hash(9001),
+                        is_empty=False, is_ordered=True)
+    assert encode_theta_compressed(many)[1] == 4
