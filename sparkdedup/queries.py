@@ -291,6 +291,68 @@ WHERE round(inter * 1.0 / (na.n + nb.n - inter), 6) >= 0.2
 """
 
 
+def q_decontaminate_docs(spark, sf_dir):
+    """Benchmark decontamination: flag corpus documents whose distinct
+    word-3-gram overlap with a held-out benchmark split (deterministic
+    ``doc_id % 13 == 0``) is >= 10% of their grams — the standard
+    n-gram-overlap decontamination pass an LLM training pipeline runs
+    against eval sets before training (reference has no analog; this is
+    a training-data-pipeline first-class op).
+
+    Scale shape: the benchmark gram dictionary is DISTINCT'd and
+    broadcast — eval benchmarks are tiny relative to a 100-TB corpus
+    (~1e7 grams ~ 80 MB for a 1e5-doc suite), so the corpus-side
+    inverted index never shuffles: one scan -> gram kernel -> broadcast
+    hash semi-join -> per-doc count. The per-doc gram totals reuse the
+    same skinny (doc_id, gh) longs; no gram strings ever leave the scan
+    (functions/tokenize.py::word_gram_hashes_batch, hash-gram identity
+    property-tested against string grams)."""
+    inv = _word_gram_inv(spark, sf_dir).cache()
+    is_bench = F.col("doc_id") % 13 == 0
+    bench_grams = inv.filter(is_bench).select("gh").distinct()
+    corpus = inv.filter(~is_bench)
+    sizes = corpus.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
+    hits = (corpus.join(F.broadcast(bench_grams), "gh")
+            .groupBy("doc_id").agg(F.count("*").alias("shared_grams")))
+    return (
+        hits.join(sizes, "doc_id")
+        .withColumn("contaminated_frac", F.round(
+            F.col("shared_grams") / F.col("n_grams"), 6))
+        .filter(F.col("contaminated_frac") >= 0.1)
+        .select("doc_id", "shared_grams", "n_grams", "contaminated_frac")
+    )
+
+
+# same integer counts in both engines; the ratio divides identical ints
+# and round(.,6) matches (the ngram_jaccard gate's established pattern)
+SQL_DECONTAMINATE_DOCS = """
+WITH words AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents
+), grams AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, len(w) - 2 + 1),
+           i -> array_to_string(w[i:i+2], ' '))) AS g
+  FROM words WHERE len(w) >= 3
+), inv AS (
+  SELECT doc_id, unnest(g) AS gram FROM grams
+), bench AS (
+  SELECT DISTINCT gram FROM inv WHERE doc_id % 13 = 0
+), corpus AS (
+  SELECT doc_id, gram FROM inv WHERE doc_id % 13 <> 0
+), sizes AS (
+  SELECT doc_id, count(*) AS n_grams FROM corpus GROUP BY 1
+), hits AS (
+  SELECT c.doc_id, count(*) AS shared_grams
+  FROM corpus c JOIN bench USING (gram) GROUP BY 1
+)
+SELECT h.doc_id, shared_grams, n_grams,
+       round(shared_grams * 1.0 / n_grams, 6) AS contaminated_frac
+FROM hits h JOIN sizes s ON h.doc_id = s.doc_id
+WHERE round(shared_grams * 1.0 / n_grams, 6) >= 0.1
+"""
+
+
 def q_substr_containment_docs(spark, sf_dir):
     """Exact substring containment: shorter doc pasted inside longer doc.
 
@@ -2303,6 +2365,7 @@ QUERIES = {
     "exact_dedup_docs": q_exact_dedup_docs,
     "dedup_clusters_docs": q_dedup_clusters_docs,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+    "decontaminate_docs": q_decontaminate_docs,
     "substr_containment_docs": q_substr_containment_docs,
     "minhash_lsh_docs": q_minhash_lsh_docs,
     "token_count_docs": q_token_count_docs,
@@ -2361,6 +2424,7 @@ ORACLES = {
     "exact_dedup_docs": SQL_EXACT_DEDUP_DOCS,
     "dedup_clusters_docs": SQL_DEDUP_CLUSTERS_DOCS,
     "ngram_jaccard_pairs": SQL_NGRAM_JACCARD_PAIRS,
+    "decontaminate_docs": SQL_DECONTAMINATE_DOCS,
     "substr_containment_docs": SQL_SUBSTR_CONTAINMENT_DOCS,
     "token_count_docs": SQL_TOKEN_COUNT_DOCS,
     "quality_score_docs": SQL_QUALITY_SCORE_DOCS,

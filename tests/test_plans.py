@@ -143,6 +143,15 @@ def test_bloom_probe_broadcasts_bitmap(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_decontaminate_broadcasts_benchmark_grams(spark):
+    """Decontamination joins the corpus inverted index against the
+    benchmark gram dictionary via broadcast — the corpus side (the 100-TB
+    side at scale) must not shuffle for the semi-join."""
+    plan = _plan(spark, "decontaminate_docs")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_embedding_gemm_tile_grid(spark):
     """Blocked-GEMM pairs: the only join is the B^2 block-grid join (tiny
     row count, fat payload); the per-vector data reaches it through ONE
