@@ -85,7 +85,11 @@ def candidate_pairs(signatures: DataFrame, cfg: DedupConfig) -> DataFrame:
     """
     bands = band_table(signatures)
 
-    sizes = bands.groupBy("band", "band_hash").agg(F.count("*").alias("bsz"))
+    # one row per occupied bucket; cached so the has_big probe job below
+    # MATERIALIZES the aggregate and the bands join + big-branch filter
+    # reuse it instead of recomputing the posexplode + shuffle
+    sizes = (bands.groupBy("band", "band_hash")
+             .agg(F.count("*").alias("bsz")).cache())
     bands = bands.join(sizes, ["band", "band_hash"])
 
     small = bands.filter((F.col("bsz") <= cfg.bucket_cap) & (F.col("bsz") > 1))
@@ -115,8 +119,9 @@ def candidate_pairs(signatures: DataFrame, cfg: DedupConfig) -> DataFrame:
     # is pure overhead (~1-2s of fixed job cost per invocation here;
     # the same class of waste at cluster scale). One limit(1) probe over
     # the already-aggregated bucket-size table decides; `sizes` is one
-    # row per occupied bucket, so the probe is a short-circuit scan of
-    # an aggregate the plan computes anyway, never of the corpus.
+    # row per occupied bucket and CACHED above, so the probe job fills
+    # the cache and every later branch reads the aggregate back instead
+    # of recomputing the band shuffle.
     has_big = bool(sizes.filter(F.col("bsz") > cfg.bucket_cap)
                    .limit(1).count())
     if not has_big:

@@ -28,6 +28,10 @@ from pyspark.sql import functions as F
 
 from sparkdedup.config import DedupConfig
 from sparkdedup.operators.components import connected_components
+from sparkdedup.operators.containment import containment_candidates, verify_containment
+from sparkdedup.operators.lsh import candidate_pairs
+from sparkdedup.operators.signatures import signature_stage
+from sparkdedup.operators.verify import verify_candidates
 
 
 def _parquet_rows(path: Path) -> int:
@@ -40,10 +44,6 @@ def _parquet_rows(path: Path) -> int:
     return sum(
         pq.ParquetFile(p).metadata.num_rows
         for p in Path(path).rglob("*.parquet"))
-from sparkdedup.operators.containment import containment_candidates, verify_containment
-from sparkdedup.operators.lsh import candidate_pairs
-from sparkdedup.operators.signatures import signature_stage
-from sparkdedup.operators.verify import verify_candidates
 
 
 @dataclass
@@ -89,6 +89,7 @@ class DedupPipeline:
             marker = base / f"_bucket_{b}_DONE"
             if marker.exists():
                 resumed += 1
+                counters[str(b)] = json.loads(marker.read_text())["rows"]
                 continue
             part = files.filter(bucket_col == b)
             sigs_b = signature_stage(part, cfg, self.num_partitions)
@@ -101,9 +102,11 @@ class DedupPipeline:
         (base / "_SUCCESS").write_text("")
         out = self.spark.read.parquet(
             *[str(base / f"bucket={b}") for b in range(B)])
+        # counters now covers fresh AND resumed buckets (fresh: footer read
+        # at write time; resumed: the count persisted in the bucket marker)
+        # — no second footer pass over every bucket directory
         self._write_metrics("signatures", {
-            "rows": sum(_parquet_rows(base / f"bucket={b}")
-                        for b in range(B)),
+            "rows": sum(counters.values()),
             "seconds": round(time.time() - t0, 3),
             "buckets": B, "buckets_resumed": resumed,
             "bucket_rows": counters})
