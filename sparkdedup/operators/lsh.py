@@ -147,3 +147,49 @@ def candidate_pairs(signatures: DataFrame, cfg: DedupConfig) -> DataFrame:
     )
 
     return small_pairs.unionByName(big_pairs).distinct()
+
+
+def incremental_candidate_pairs(corpus_sigs: DataFrame,
+                                delta_sigs: DataFrame) -> DataFrame:
+    """LSH candidate pairs INCIDENT TO A DELTA batch against a standing
+    corpus — the 100-TB ingest shape (reference parity: theta
+    set-operation semantics applied to dedup; datasketches-go's
+    incremental union use case, theta/union_impl.go:26-41).
+
+    A deduped corpus re-checks only what changed: a new crawl batch or
+    repo push must be compared against the corpus WITHOUT re-running
+    all-pairs LSH over 10^12 files. Two asymmetries make this cheap and
+    this operator encodes both:
+
+      * the corpus band table (the 10^12-row side) is NEVER shuffled:
+        the delta band table is tiny by assumption, so the band join
+        broadcasts it (plan-guarded in test_plans.py) and the corpus
+        side streams map-side through the join — at cluster scale the
+        corpus signatures are read from the persisted signature
+        checkpoint (pipeline.py materializes exactly this table), not
+        recomputed;
+      * corpus-corpus pairs are excluded BY CONSTRUCTION (the corpus is
+        already deduped), so the output is only (corpus x delta) and
+        (delta x delta) pairs — the right side of every emitted pair is
+        a delta file.
+
+    Skew note: a boilerplate mega-bucket of f_c corpus rows meets only
+    f_d delta rows here (f_c * f_d join rows, f_d small) — the quadratic
+    f^2 blowup candidate_pairs() guards against cannot occur unless the
+    DELTA itself is boilerplate-heavy; a delta large enough to need the
+    mega-bucket machinery should run the full candidate_pairs() instead.
+
+    Returns (src, dst) distinct with src < dst, at least one side delta.
+    """
+    all_bands = band_table(
+        corpus_sigs.select("file_id", "simhash", "bands").unionByName(
+            delta_sigs.select("file_id", "simhash", "bands"))
+    ).select("band", "band_hash", F.col("file_id").alias("src"))
+    delta_bands = band_table(delta_sigs).select(
+        "band", "band_hash", F.col("file_id").alias("dst"))
+    return (
+        all_bands.join(F.broadcast(delta_bands), ["band", "band_hash"])
+        .filter(F.col("src") != F.col("dst"))
+        .select(F.least("src", "dst").alias("src"),
+                F.greatest("src", "dst").alias("dst"))
+        .distinct())

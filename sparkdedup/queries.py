@@ -193,6 +193,36 @@ def _word_gram_inv(spark, sf_dir) -> DataFrame:
             .mapInPandas(gram_kernel, schema="doc_id long, gh long"))
 
 
+def _doc_idmap(docs: DataFrame) -> DataFrame:
+    """(file_id, orig_id) for the docs-as-files mapping WITHOUT running
+    the signature kernel: file_id is a pure function of
+    (repo, path, commit) = ('docs', str(doc_id), '0')
+    (operators/signatures.py:53-56 — murmur3-128(repo\\0path\\0commit,
+    seed 42).h1), independent of content. The LSH queries join this map
+    back onto candidate pairs TWICE (src and dst); deriving it from the
+    signatures frame re-ran the whole tokenize+shingle+KMV kernel per
+    join branch. This kernel reads one long column. Equality with
+    signature_stage's file_id is pinned in tests/test_queries.py."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    def kern(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from sparkdedup.functions.murmur3 import murmur3_128_bytes
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf["doc_id"].to_numpy()
+            keys = [("docs\x00%d\x000" % d).encode("utf-8") for d in ids]
+            h1, _ = murmur3_128_bytes(keys, 42)
+            yield pd.DataFrame({"file_id": h1.astype(np.int64),
+                                "orig_id": ids})
+
+    return docs.select("doc_id").mapInPandas(
+        kern, schema="file_id long, orig_id long")
+
+
 def _exact_jaccard_on_pairs(cand: DataFrame, inv: DataFrame,
                             threshold: float) -> DataFrame:
     """Exact Jaccard verification of (src, dst) candidate pairs from the
@@ -454,19 +484,24 @@ def q_minhash_lsh_docs(spark, sf_dir):
         F.lit("0").alias("commit"),
         F.col("lang"), F.col("text").alias("content"))
     sigs = signature_stage(_fan_out(files, spark), cfg)
-    sigs = sigs.withColumn("orig_id", F.col("path").cast("long"))
-    # remap murmur3 file_id -> doc_id for readable output
-    idmap = sigs.select("file_id", "orig_id")
+    # remap murmur3 file_id -> doc_id for readable output; the map comes
+    # from the skinny _doc_idmap kernel, NOT sigs — deriving it from sigs
+    # re-ran the full signature kernel once per join branch
+    idmap = _doc_idmap(docs)
     cands = candidate_pairs(sigs, cfg)
     src_map = idmap.select(F.col("file_id").alias("src"),
                            F.col("orig_id").alias("src_doc"))
     dst_map = idmap.select(F.col("file_id").alias("dst"),
                            F.col("orig_id").alias("dst_doc"))
+    # the verify stage scans the candidate table three times (src semi,
+    # dst semi, intersection join); pin the tiny pair set once so the
+    # signature+banding subtree is computed exactly once per query
     cand_docs = (
         cands.join(src_map, "src").join(dst_map, "dst")
         .select(F.least("src_doc", "dst_doc").alias("src"),
                 F.greatest("src_doc", "dst_doc").alias("dst"))
-        .distinct())
+        .distinct()
+        .localCheckpoint(eager=False))
     inv = _word_gram_inv(spark, sf_dir)
     return _exact_jaccard_on_pairs(cand_docs, inv, 0.5)
 
@@ -496,6 +531,87 @@ FROM inter
 JOIN sized na ON na.doc_id = src
 JOIN sized nb ON nb.doc_id = dst
 WHERE round(inter * 1.0 / (na.n + nb.n - inter), 6) >= 0.5
+"""
+
+
+def q_incremental_neardup_docs(spark, sf_dir):
+    """INCREMENTAL near-dup detection: a new DELTA batch (docs with
+    doc_id % 7 == 0 — a deterministic stand-in for today's crawl) checked
+    against the standing corpus (the rest) via
+    operators/lsh.py::incremental_candidate_pairs — the delta band table
+    broadcasts, the corpus side never shuffles, corpus-corpus pairs are
+    skipped by construction — then exact word-3-gram Jaccard verification
+    at tau=0.5 on candidates only.
+
+    At 100 TB this is the shape of every ingest tick: corpus signatures
+    come from the persisted signature checkpoint; only the delta is
+    shingled fresh. Here both sides run through signature_stage in one
+    scan (the split is a filter on the same signatures frame, so the
+    kernel runs once) — the plan's defining property, a broadcast band
+    join with no corpus-side shuffle, is guarded in test_plans.py."""
+    from sparkdedup.config import DedupConfig
+    from sparkdedup.operators.lsh import incremental_candidate_pairs
+    from sparkdedup.operators.signatures import signature_stage
+
+    cfg = DedupConfig(jaccard_threshold=0.5)
+    docs = _read(spark, sf_dir, "documents")
+    files = docs.select(
+        F.lit("docs").alias("repo"),
+        F.col("doc_id").cast("string").alias("path"),
+        F.lit("0").alias("commit"),
+        F.col("lang"), F.col("text").alias("content"))
+    is_delta = F.col("path").cast("long") % 7 == 0
+    # the two sides are shingled SEPARATELY — the real ingest shape: the
+    # corpus signature scan runs once (from the persisted checkpoint at
+    # cluster scale), and only the small delta is re-scanned for its
+    # broadcast band table (a filter-split of one shared signatures frame
+    # would re-run the full kernel over ALL docs once per consumer)
+    delta_sigs = signature_stage(_fan_out(files.filter(is_delta), spark),
+                                 cfg)
+    corpus_sigs = signature_stage(_fan_out(files.filter(~is_delta), spark),
+                                  cfg)
+    cands = incremental_candidate_pairs(corpus_sigs, delta_sigs)
+    idmap = _doc_idmap(docs)
+    src_map = idmap.select(F.col("file_id").alias("src"),
+                           F.col("orig_id").alias("src_doc"))
+    dst_map = idmap.select(F.col("file_id").alias("dst"),
+                           F.col("orig_id").alias("dst_doc"))
+    cand_docs = (
+        cands.join(src_map, "src").join(dst_map, "dst")
+        .select(F.least("src_doc", "dst_doc").alias("src"),
+                F.greatest("src_doc", "dst_doc").alias("dst"))
+        .distinct()
+        .localCheckpoint(eager=False))
+    inv = _word_gram_inv(spark, sf_dir)
+    return _exact_jaccard_on_pairs(cand_docs, inv, 0.5)
+
+
+SQL_INCREMENTAL_NEARDUP_DOCS = """
+WITH words AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents
+), grams AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, len(w) - 2 + 1),
+           i -> array_to_string(w[i:i+2], ' '))) AS g
+  FROM words WHERE len(w) >= 3
+), sized AS (
+  SELECT doc_id, g, len(g) AS n FROM grams
+), inv AS (
+  SELECT doc_id, unnest(g) AS gram FROM sized
+), inter AS (
+  SELECT a.doc_id AS src, b.doc_id AS dst, count(*) AS inter
+  FROM inv a JOIN inv b USING (gram)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT src, dst,
+       round(inter * 1.0 / (na.n + nb.n - inter), 6) AS jaccard
+FROM inter
+JOIN sized na ON na.doc_id = src
+JOIN sized nb ON nb.doc_id = dst
+WHERE round(inter * 1.0 / (na.n + nb.n - inter), 6) >= 0.5
+  AND (src % 7 = 0 OR dst % 7 = 0)
 """
 
 
@@ -624,6 +740,119 @@ SELECT doc_id,
        round(length(regexp_replace(text, '[^0-9]', '', 'g')) * 1.0
              / length(text), 4) AS digit_ratio
 FROM t
+"""
+
+
+def q_repetition_filter_docs(spark, sf_dir):
+    """Gopher-style repetition filters: per-document top-word fraction
+    (count of the most frequent token / token count) and duplicate
+    word-3-gram fraction (1 - distinct grams / total grams), plus the
+    keep flag a curation pipeline would filter on
+    (top_word_frac <= 0.125 AND dup_gram_frac <= 0.01 — thresholds that
+    split this corpus ~80/20).
+
+    Plan shape: the gram metrics are pure array built-ins on one scan
+    (split -> transform over a sequence -> array_distinct — all inside
+    WholeStageCodegen, per-row memory bounded by doc length); the
+    top-word count is one explode + two partial-aggregated groupBys on
+    doc_id — the only shuffle, and it's skinny (doc_id, word) rows. All
+    fractions are integer-count ratios, so both engines divide the same
+    exact longs and round(x, 6) compares hash-stably (same argument as
+    the jaccard gates)."""
+    docs = _read(spark, sf_dir, "documents")
+    w = F.split(F.trim("text"), r"[ \t\n\f\r]+")
+    d = (docs.select("doc_id", w.alias("w"))
+             .filter(F.size("w") >= 3))
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size("w") - 2),
+        lambda i: F.concat_ws(
+            " ", F.element_at("w", i), F.element_at("w", i + 1),
+            F.element_at("w", i + 2)))
+    g = d.select(
+        "doc_id",
+        F.size("w").cast("long").alias("n_words"),
+        F.size(grams).cast("long").alias("n_grams"),
+        F.size(F.array_distinct(grams)).cast("long").alias("n_distinct"))
+    wc = (d.select("doc_id", F.explode("w").alias("word"))
+            .groupBy("doc_id", "word").agg(F.count("*").alias("c")))
+    tw = wc.groupBy("doc_id").agg(F.max("c").alias("top_c"))
+    twf = F.round(F.col("top_c") / F.col("n_words"), 6)
+    dgf = F.round(F.lit(1.0) - F.col("n_distinct") / F.col("n_grams"), 6)
+    return (g.join(tw, "doc_id")
+             .select("doc_id", "n_words",
+                     twf.alias("top_word_frac"),
+                     dgf.alias("dup_gram_frac"),
+                     ((twf <= 0.125) & (dgf <= 0.01)).alias("keep")))
+
+
+SQL_REPETITION_FILTER_DOCS = """
+WITH words AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents
+), sized AS (
+  SELECT doc_id, w, len(w) AS n_words FROM words WHERE len(w) >= 3
+), ex AS (
+  SELECT doc_id, unnest(w) AS word FROM sized
+), wc AS (
+  SELECT doc_id, word, count(*) AS c FROM ex GROUP BY 1, 2
+), tw AS (
+  SELECT doc_id, max(c) AS top_c FROM wc GROUP BY 1
+), grams AS (
+  SELECT doc_id, n_words,
+         list_transform(range(1, n_words - 2 + 1),
+                        i -> array_to_string(w[i:i+2], ' ')) AS g
+  FROM sized
+)
+SELECT g.doc_id,
+       n_words,
+       round(top_c * 1.0 / n_words, 6) AS top_word_frac,
+       round(1.0 - len(list_distinct(g.g)) * 1.0 / len(g.g), 6)
+         AS dup_gram_frac,
+       (round(top_c * 1.0 / n_words, 6) <= 0.125
+        AND round(1.0 - len(list_distinct(g.g)) * 1.0 / len(g.g), 6)
+            <= 0.01) AS keep
+FROM grams g JOIN tw ON g.doc_id = tw.doc_id
+"""
+
+
+def q_stratified_sample_docs(spark, sf_dir):
+    """Stratified curation sample: an exact, deterministic ceil(25%) of
+    each language stratum, chosen by md5(doc_id) order (the same
+    hash-replay device the reservoir/VarOpt gates use, so the draw is
+    identical in Spark, DuckDB, and numpy).
+
+    The per-stratum rank comes from grouped_rank_scalable, NOT a plain
+    per-lang window: a language stratum at 100 TB is billions of rows,
+    and Window.partitionBy(lang) would gather each stratum into the one
+    task that sorts it. The stitched range-partition rank bounds every
+    task at a range partition. The per-stratum counts are one tiny
+    aggregate (rows = |langs|), broadcast back. 0.25 is a dyadic
+    fraction, so n * 0.25 is exact in IEEE and ceil() agrees across
+    engines for every n."""
+    from sparkdedup.operators.lsh import grouped_rank_scalable
+
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id", "lang",
+        F.md5(F.col("doc_id").cast("string")).alias("h"))
+    dp = spark.sparkContext.defaultParallelism
+    ranked = grouped_rank_scalable(docs, ["lang"], ["h", "doc_id"], dp,
+                                   rank_col="rank")
+    counts = docs.groupBy("lang").agg(F.count("*").alias("n"))
+    return (ranked.join(F.broadcast(counts), "lang")
+            .filter(F.col("rank") <= F.ceil(F.col("n") * 0.25))
+            .select("doc_id", "lang", F.col("rank").cast("long")
+                    .alias("rank")))
+
+
+SQL_STRATIFIED_SAMPLE_DOCS = """
+WITH ranked AS (
+  SELECT doc_id, lang,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rank,
+         count(*) OVER (PARTITION BY lang) AS n
+  FROM documents
+)
+SELECT doc_id, lang, rank FROM ranked WHERE rank <= ceil(n * 0.25)
 """
 
 
@@ -2368,6 +2597,9 @@ QUERIES = {
     "decontaminate_docs": q_decontaminate_docs,
     "substr_containment_docs": q_substr_containment_docs,
     "minhash_lsh_docs": q_minhash_lsh_docs,
+    "incremental_neardup_docs": q_incremental_neardup_docs,
+    "repetition_filter_docs": q_repetition_filter_docs,
+    "stratified_sample_docs": q_stratified_sample_docs,
     "token_count_docs": q_token_count_docs,
     "quality_score_docs": q_quality_score_docs,
     "lang_id_docs": q_lang_id_docs,
@@ -2455,6 +2687,9 @@ ORACLES = {
     "pivot_status": SQL_PIVOT_STATUS,
     "range_join_activity": SQL_RANGE_JOIN_ACTIVITY,
     "minhash_lsh_docs": SQL_MINHASH_LSH_DOCS,
+    "incremental_neardup_docs": SQL_INCREMENTAL_NEARDUP_DOCS,
+    "repetition_filter_docs": SQL_REPETITION_FILTER_DOCS,
+    "stratified_sample_docs": SQL_STRATIFIED_SAMPLE_DOCS,
     "simhash_near_docs": SQL_SIMHASH_NEAR_DOCS,
     "kmv_distinct_tokens": SQL_KMV_DISTINCT_TOKENS,
     "tuple_user_spend": SQL_TUPLE_USER_SPEND,

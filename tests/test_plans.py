@@ -227,3 +227,51 @@ def test_varopt_scaled_plan_shape(spark):
     mp = plan.index("MapInPandas")
     fg = max(plan.find("FlatMapGroupsInPandas"), plan.find("ApplyInPandas"))
     assert fg < mp  # plans print top-down: the merge sits ABOVE the partial
+
+
+def test_incremental_band_join_broadcasts_delta(spark):
+    """Incremental dedup's defining plan property: the band join
+    broadcasts the DELTA band table (BuildRight) so the corpus side —
+    the 10^12-row side at scale — never shuffles for candidate
+    generation. A SortMergeJoin on the band keys would mean the corpus
+    band table got exchanged."""
+    from pyspark.sql import functions as F
+
+    from sparkdedup.config import DedupConfig
+    from sparkdedup.operators.lsh import incremental_candidate_pairs
+    from sparkdedup.operators.signatures import signature_stage
+
+    # the query itself localCheckpoints the pair table (its plan shows
+    # Scan ExistingRDD), so guard the operator's own plan directly
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    files = docs.select(
+        F.lit("docs").alias("repo"),
+        F.col("doc_id").cast("string").alias("path"),
+        F.lit("0").alias("commit"),
+        F.col("lang"), F.col("text").alias("content"))
+    is_delta = F.col("path").cast("long") % 7 == 0
+    cfg = DedupConfig(jaccard_threshold=0.5)
+    cands = incremental_candidate_pairs(
+        signature_stage(files.filter(~is_delta), cfg),
+        signature_stage(files.filter(is_delta), cfg))
+    plan = cands._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    band_joins = [ln for ln in plan.splitlines()
+                  if "Join" in ln and "[band#" in ln]
+    assert band_joins, "no band-keyed join found in plan"
+    for ln in band_joins:
+        assert "BroadcastHashJoin" in ln and "BuildRight" in ln, ln
+    assert "SortMergeJoin [band" not in plan
+
+
+def test_stratified_sample_no_stratum_wide_window(spark):
+    """The per-lang rank must come from the stitched range-partition
+    form: no window spec partitioned by lang alone (which would gather a
+    whole 100-TB stratum into one task) may appear."""
+    plan = _plan(spark, "stratified_sample_docs")
+    import re
+
+    for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", plan):
+        spec = m.group(1)
+        # every window spec must include the _pid range-partition column
+        assert "_pid" in spec, spec

@@ -210,3 +210,28 @@ def test_kmv_distinct_agg_accuracy(spark):
     assert len(m) == len(exact)
     rel = (m["n_distinct_est"] - m["exact"]).abs() / m["exact"].clip(lower=1)
     assert (rel < 0.06).all(), m[rel >= 0.06]
+
+
+def test_doc_idmap_matches_signature_file_id(spark):
+    """_doc_idmap's skinny kernel must produce the SAME file_id the full
+    signature kernel assigns — it exists to replace sigs-derived idmaps
+    in the LSH queries, so divergence would silently drop every
+    candidate pair at the remap join."""
+    from pyspark.sql import functions as F
+
+    from sparkdedup.config import DedupConfig
+    from sparkdedup.operators.signatures import signature_stage
+    from sparkdedup.queries import _doc_idmap
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(50)
+    files = docs.select(
+        F.lit("docs").alias("repo"),
+        F.col("doc_id").cast("string").alias("path"),
+        F.lit("0").alias("commit"),
+        F.col("lang"), F.col("text").alias("content"))
+    sig_map = {r["path"]: r["file_id"]
+               for r in signature_stage(files, DedupConfig())
+               .select("path", "file_id").collect()}
+    id_map = {str(r["orig_id"]): r["file_id"]
+              for r in _doc_idmap(docs).collect()}
+    assert sig_map == id_map and len(sig_map) == 50
