@@ -814,6 +814,222 @@ FROM grams g JOIN tw ON g.doc_id = tw.doc_id
 """
 
 
+def q_chunk_dedup_docs(spark, sf_dir):
+    """Paragraph-granularity dedup (the Falcon/RefinedWeb 'duplicated
+    paragraph fraction' filter, reference minhash semantics applied one
+    level below the document): documents are chunked into consecutive
+    non-overlapping 20-word windows, each chunk keyed by md5, and a
+    chunk is 'duplicated' when the SAME chunk text occurs in >= 2
+    DISTINCT documents. Output: per-doc chunk count, duplicated-chunk
+    count, duplicated fraction, and the keep flag a curation pipeline
+    filters on.
+
+    Plan shape (the 100-TB shape): chunking is pure array built-ins on
+    one scan (split -> slice windows -> md5 — WholeStageCodegen, no
+    Python); cross-doc detection is TWO partial-aggregated skinny
+    shuffles — distinct (chunk_hash, doc_id) then count per chunk_hash
+    — never the document text (the md5 is 32 bytes regardless of chunk
+    width, and the two-phase distinct bounds hot boilerplate chunks the
+    same way repetition/ngram gates bound their skew). The dup-hash
+    join back is hash->hash; all emitted fractions are integer-count
+    ratios (exact longs in both engines; round(x,6) hash-stable)."""
+    docs = _read(spark, sf_dir, "documents")
+    w = F.split(F.trim("text"), r"[ \t\n\f\r]+")
+    chunks = F.transform(
+        F.sequence(F.lit(1), F.size("w"), F.lit(20)),
+        lambda s: F.md5(F.concat_ws(" ", F.slice("w", s, 20))))
+    ex = (docs.select("doc_id", w.alias("w"))
+              .filter(F.size("w") >= 1)
+              .select("doc_id", F.explode(chunks).alias("h")))
+    dup = (ex.select("h", "doc_id").distinct()
+             .groupBy("h").agg(F.count("*").alias("nd"))
+             .filter(F.col("nd") >= 2)
+             .select("h", F.lit(1).alias("_dup")))
+    return (ex.join(dup, "h", "left")
+              .groupBy("doc_id")
+              .agg(F.count("*").alias("n_chunks"),
+                   F.count("_dup").alias("n_dup_chunks"))
+              .select("doc_id", "n_chunks", "n_dup_chunks",
+                      F.round(F.col("n_dup_chunks") / F.col("n_chunks"),
+                              6).alias("dup_chunk_frac"),
+                      (F.col("n_dup_chunks") * 2 <= F.col("n_chunks"))
+                      .alias("keep")))
+
+
+SQL_CHUNK_DEDUP_DOCS = """
+WITH w AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents
+  WHERE len(string_split_regex(trim(text), '\\s+')) >= 1
+), ch AS (
+  SELECT doc_id, md5(array_to_string(list_slice(w, s, s + 19), ' ')) AS h
+  FROM w, unnest(generate_series(1, len(w), 20)) AS t(s)
+), dup AS (
+  SELECT h, 1 AS _dup
+  FROM (SELECT h, doc_id FROM ch GROUP BY 1, 2)
+  GROUP BY h HAVING count(*) >= 2
+)
+SELECT ch.doc_id,
+       count(*) AS n_chunks,
+       count(dup._dup) AS n_dup_chunks,
+       round(count(dup._dup) * 1.0 / count(*), 6) AS dup_chunk_frac,
+       (count(dup._dup) * 2 <= count(*)) AS keep
+FROM ch LEFT JOIN dup ON ch.h = dup.h
+GROUP BY ch.doc_id
+"""
+
+
+def q_pack_sequences_docs(spark, sf_dir):
+    """Sequence packing for pretraining batches: assign every document
+    to a training pack of <= 512 tokens by deterministic next-fit —
+    docs are routed to a hash bucket (doc_id % 16), ordered by doc_id
+    within the bucket, and a new pack opens whenever adding the next
+    doc would cross the budget (a doc longer than the budget gets its
+    own pack). Emits (doc_id, bucket, pack_id, n_tokens) with pack_id
+    globally unique (bucket << 40 | local pack).
+
+    Plan shape: token counts are a JVM-side size(split(..)) on the
+    scan; the only data movement is ONE hash repartition on bucket,
+    then an applyInPandas kernel runs the (inherently sequential)
+    next-fit scan per bucket over numpy int64 arrays. Parallelism ==
+    bucket count: 16 here to keep the oracle's recursive-CTE replay
+    cheap, but the operator takes n_buckets as a parameter — at 10^12
+    files you size buckets so each holds O(10^6) docs (the per-bucket
+    scan is a trivial int loop; the packing decision needs only the
+    running fill, so buckets never exchange state). Determinism: the
+    (bucket, doc_id) order is total, the budget compare is exact
+    integer arithmetic, so Spark's per-bucket loop and DuckDB's
+    recursive CTE step identically."""
+    from sparkdedup.operators.packing import pack_next_fit
+
+    docs = _read(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.pmod("doc_id", F.lit(16)).cast("int").alias("bucket"),
+        F.size(F.split(F.trim("text"), r"[ \t\n\f\r]+"))
+         .cast("long").alias("n_tokens"))
+    return pack_next_fit(toks, budget=512, n_buckets=16)
+
+
+SQL_PACK_SEQUENCES_DOCS = """
+WITH RECURSIVE t AS (
+  SELECT doc_id, CAST(doc_id % 16 AS INT) AS bucket,
+         CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n,
+         row_number() OVER (PARTITION BY doc_id % 16 ORDER BY doc_id) AS rn
+  FROM documents
+), rec AS (
+  SELECT bucket, rn, doc_id, n, CAST(0 AS BIGINT) AS pack, n AS fill
+  FROM t WHERE rn = 1
+  UNION ALL
+  SELECT t.bucket, t.rn, t.doc_id, t.n,
+         CASE WHEN rec.fill + t.n > 512 THEN rec.pack + 1 ELSE rec.pack END,
+         CASE WHEN rec.fill + t.n > 512 THEN t.n ELSE rec.fill + t.n END
+  FROM rec JOIN t ON t.bucket = rec.bucket AND t.rn = rec.rn + 1
+)
+SELECT doc_id, bucket,
+       CAST(bucket AS BIGINT) * 1099511627776 + pack AS pack_id,
+       n AS n_tokens
+FROM rec
+"""
+
+
+def q_corpus_stopword_docs(spark, sf_dir):
+    """Corpus-derived stopword scoring (the data-driven half of a
+    C4-style quality filter): the 8 highest-document-frequency words
+    become the corpus stopword dictionary, and every doc is scored by
+    the fraction of its token INSTANCES drawn from that dictionary —
+    low ratios flag non-prose (code, tables, gibberish) for curation.
+
+    Plan shape: document frequency is the two-phase skinny shuffle
+    (distinct (doc_id, word) partial-agg'd, then count per word); the
+    dictionary is top-8 by (df DESC, word ASC) — a deterministic total
+    order, taken with a bounded sort over the tiny word-count table —
+    and then BROADCAST, so the scoring pass joins the exploded corpus
+    against 8 rows with zero corpus-side shuffle beyond the per-doc
+    re-aggregation. At 100 TB the dictionary stays O(k) however large
+    the corpus grows; the df aggregation is the honest one-pass price
+    and is exactly approx-top-k replaceable (freq_top_terms) when
+    exactness isn't required."""
+    docs = _read(spark, sf_dir, "documents")
+    w = F.split(F.trim("text"), r"[ \t\n\f\r]+")
+    tok = docs.select("doc_id", F.explode(w).alias("word"))
+    df = (tok.select("doc_id", "word").distinct()
+             .groupBy("word").agg(F.count("*").alias("df")))
+    top = (df.orderBy(F.col("df").desc(), F.col("word")).limit(8)
+             .select("word", F.lit(1).alias("_stop")))
+    return (tok.join(F.broadcast(top), "word", "left")
+               .groupBy("doc_id")
+               .agg(F.count("*").alias("n_tokens"),
+                    F.count("_stop").alias("n_stop"))
+               .select("doc_id", "n_tokens", "n_stop",
+                       F.round(F.col("n_stop") / F.col("n_tokens"), 6)
+                        .alias("stop_ratio")))
+
+
+SQL_CORPUS_STOPWORD_DOCS = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS word
+  FROM documents
+), df AS (
+  SELECT word, count(*) AS df
+  FROM (SELECT DISTINCT doc_id, word FROM tok)
+  GROUP BY word
+), top AS (
+  SELECT word, 1 AS _stop FROM df ORDER BY df DESC, word LIMIT 8
+)
+SELECT doc_id,
+       count(*) AS n_tokens,
+       count(top._stop) AS n_stop,
+       round(count(top._stop) * 1.0 / count(*), 6) AS stop_ratio
+FROM tok LEFT JOIN top ON tok.word = top.word
+GROUP BY doc_id
+"""
+
+
+def q_source_mix_weights(spark, sf_dir):
+    """Domain-mixture reweighting (the Dolma/Pile 'mixing table'): per
+    source, total token share vs a uniform target, and the sampling
+    weight (target_share / actual_share) a curation pipeline multiplies
+    into per-doc sampling probabilities to hit the target mix.
+
+    ONE partial-aggregated groupBy on a low-cardinality key — the
+    entire result is |sources| rows, so at 100 TB this is a map-side
+    combine into a few final rows. Shares and weights are single
+    divisions of exact longs (then one more exact double divide), so
+    both engines produce bit-identical doubles; round(6) for the
+    gate."""
+    docs = _read(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source",
+        F.size(F.split(F.trim("text"), r"[ \t\n\f\r]+"))
+         .cast("long").alias("n"))
+    per = toks.groupBy("source").agg(
+        F.count("*").alias("n_docs"), F.sum("n").alias("n_tokens"))
+    tot = per.agg(F.sum("n_tokens").alias("_tot"),
+                  F.count("*").alias("_k"))
+    share = F.col("n_tokens") / F.col("_tot")
+    return (per.crossJoin(F.broadcast(tot))
+               .select("source", "n_docs", "n_tokens",
+                       F.round(share, 6).alias("token_share"),
+                       F.round((F.lit(1.0) / F.col("_k")) / share, 6)
+                        .alias("mix_weight")))
+
+
+SQL_SOURCE_MIX_WEIGHTS = """
+WITH per AS (
+  SELECT source, count(*) AS n_docs,
+         CAST(sum(len(string_split_regex(trim(text), '\\s+')))
+              AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+), tot AS (
+  SELECT sum(n_tokens) AS _tot, count(*) AS _k FROM per
+)
+SELECT source, n_docs, n_tokens,
+       round(n_tokens * 1.0 / _tot, 6) AS token_share,
+       round((1.0 / _k) / (n_tokens * 1.0 / _tot), 6) AS mix_weight
+FROM per, tot
+"""
+
+
 def q_stratified_sample_docs(spark, sf_dir):
     """Stratified curation sample: an exact, deterministic ceil(25%) of
     each language stratum, chosen by md5(doc_id) order (the same
@@ -1086,6 +1302,67 @@ SELECT o_orderpriority, x, round(cdf_raw, 6) AS cdf,
        round(cdf_raw - coalesce(lag(cdf_raw) OVER (
            PARTITION BY o_orderpriority ORDER BY x), 0.0), 6) AS pmf
 FROM c
+"""
+
+
+def q_doc_length_buckets(spark, sf_dir):
+    """Sketch-DRIVEN curation composite: global KLL quartile thresholds
+    of document length assign every doc a size bucket — the shape a
+    100-TB pipeline uses to stratify by length WITHOUT a global sort:
+    the sketch build is one shuffle-free two-phase aggregation yielding
+    a single tiny sketch row, the three thresholds pivot to one row, and
+    that row broadcasts back onto the scan (BroadcastNestedLoopJoin over
+    exactly one row — constant cost at any corpus size).
+
+    Correctness contract: the exact-regime device of
+    kll_quantiles_orders (k >= footer row count, require_single_level
+    hard guard), so each threshold is the exact order statistic at rank
+    ceil(q*n); 0.25/0.5/0.75 are dyadic, so q*n is the same IEEE double
+    in both engines. n_chars is integral, so the bucket comparisons are
+    exact."""
+    from sparkdedup.operators.kll_agg import kll_agg, kll_agg_quantiles
+
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id", F.col("n_chars").cast("double").alias("len"))
+    k = max(4096, _table_rows(sf_dir, "documents"))
+    sk = kll_agg(docs, "len", [], k=k)
+    th = kll_agg_quantiles(sk, [0.25, 0.5, 0.75], [], round_to=6,
+                           require_single_level=True)
+    wide = th.agg(
+        F.max(F.when(F.col("q") == 0.25, F.col("value"))).alias("t1"),
+        F.max(F.when(F.col("q") == 0.50, F.col("value"))).alias("t2"),
+        F.max(F.when(F.col("q") == 0.75, F.col("value"))).alias("t3"))
+    return (docs.crossJoin(F.broadcast(wide))
+            .select("doc_id",
+                    F.col("len").cast("long").alias("n_chars"),
+                    F.when(F.col("len") <= F.col("t1"), F.lit(0))
+                     .when(F.col("len") <= F.col("t2"), F.lit(1))
+                     .when(F.col("len") <= F.col("t3"), F.lit(2))
+                     .otherwise(F.lit(3)).cast("int").alias("bucket")))
+
+
+SQL_DOC_LENGTH_BUCKETS = """
+WITH ranked AS (
+  SELECT n_chars,
+         row_number() OVER (ORDER BY n_chars, doc_id) AS rn,
+         count(*) OVER () AS cnt
+  FROM documents
+), th AS (
+  SELECT
+    max(CASE WHEN rn = greatest(1, CAST(ceil(0.25 * cnt) AS BIGINT))
+        THEN n_chars END) AS t1,
+    max(CASE WHEN rn = greatest(1, CAST(ceil(0.50 * cnt) AS BIGINT))
+        THEN n_chars END) AS t2,
+    max(CASE WHEN rn = greatest(1, CAST(ceil(0.75 * cnt) AS BIGINT))
+        THEN n_chars END) AS t3
+  FROM ranked
+)
+SELECT doc_id, n_chars,
+       CASE WHEN n_chars <= t1 THEN 0
+            WHEN n_chars <= t2 THEN 1
+            WHEN n_chars <= t3 THEN 2
+            ELSE 3 END AS bucket
+FROM documents, th
 """
 
 
@@ -2613,6 +2890,11 @@ QUERIES = {
     "head_quantiles_prices": q_head_quantiles_prices,
     "kll_rank_cdf_orders": q_kll_rank_cdf_orders,
     "kll_quantiles_orders": q_kll_quantiles_orders,
+    "doc_length_buckets": q_doc_length_buckets,
+    "chunk_dedup_docs": q_chunk_dedup_docs,
+    "pack_sequences_docs": q_pack_sequences_docs,
+    "corpus_stopword_docs": q_corpus_stopword_docs,
+    "source_mix_weights": q_source_mix_weights,
     "distinct_users_by_type": q_distinct_users_by_type,
     "hll_distinct_users": q_hll_distinct_users,
     "kmv_distinct_tokens": q_kmv_distinct_tokens,
@@ -2671,6 +2953,11 @@ ORACLES = {
     "head_quantiles_prices": SQL_HEAD_QUANTILES_PRICES,
     "kll_rank_cdf_orders": SQL_KLL_RANK_CDF_ORDERS,
     "kll_quantiles_orders": SQL_KLL_QUANTILES_ORDERS,
+    "doc_length_buckets": SQL_DOC_LENGTH_BUCKETS,
+    "chunk_dedup_docs": SQL_CHUNK_DEDUP_DOCS,
+    "pack_sequences_docs": SQL_PACK_SEQUENCES_DOCS,
+    "corpus_stopword_docs": SQL_CORPUS_STOPWORD_DOCS,
+    "source_mix_weights": SQL_SOURCE_MIX_WEIGHTS,
     "distinct_users_by_type": SQL_DISTINCT_USERS_BY_TYPE,
     "pricing_summary": SQL_PRICING_SUMMARY,
     "top_revenue_orders": SQL_TOP_REVENUE_ORDERS,

@@ -112,3 +112,45 @@ def test_neighbor_window_orders_by_simhash(spark):
     pairs = candidate_pairs(sigs, cfg).toPandas()
     # rank chain over 12 members with w=1 -> exactly 11 adjacent pairs
     assert len(pairs) == 11
+
+
+def test_pack_next_fit_semantics(spark):
+    """Next-fit contract vs a pure-python reference: bucket-local doc_id
+    order, new pack iff fill + n > budget, oversize doc sits alone."""
+    import pandas as pd
+
+    rows = [  # (doc_id, bucket, n_tokens)
+        (1, 0, 100), (3, 0, 400), (5, 0, 20), (7, 0, 600), (9, 0, 1),
+        (2, 1, 512), (4, 1, 512), (6, 1, 1),
+        (8, 2, 700),  # oversize alone
+    ]
+    from sparkdedup.operators.packing import pack_next_fit
+    df = spark.createDataFrame(rows, "doc_id long, bucket int, n_tokens long")
+    got = {r.doc_id: (r.pack_id, r.n_tokens)
+           for r in pack_next_fit(df, budget=512, n_buckets=4).collect()}
+
+    def ref(docs, budget=512):
+        out, p, fill = {}, 0, None
+        for d, n in docs:
+            if fill is None:
+                fill = n
+            elif fill + n > budget:
+                p += 1
+                fill = n
+            else:
+                fill += n
+            out[d] = p
+        return out
+
+    stride = 1 << 40
+    for b, docs in [(0, [(1, 100), (3, 400), (5, 20), (7, 600), (9, 1)]),
+                    (1, [(2, 512), (4, 512), (6, 1)]),
+                    (2, [(8, 700)])]:
+        expect = ref(docs)
+        for d, n in docs:
+            assert got[d] == (b * stride + expect[d], n), (b, d, got[d])
+    # oversize doc 7 sits alone: no other doc shares its pack
+    packs = {}
+    for d, (pid, _) in got.items():
+        packs.setdefault(pid, []).append(d)
+    assert packs[0 * stride + 2] == [7]

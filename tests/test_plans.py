@@ -275,3 +275,38 @@ def test_stratified_sample_no_stratum_wide_window(spark):
         spec = m.group(1)
         # every window spec must include the _pid range-partition column
         assert "_pid" in spec, spec
+
+
+def test_corpus_stopword_dict_broadcast(spark):
+    """The 8-row stopword dictionary must broadcast onto the exploded
+    corpus (the corpus side never shuffles for the scoring join); the
+    DF aggregation must partial-agg."""
+    plan = _plan(spark, "corpus_stopword_docs")
+    assert "BroadcastHashJoin" in plan
+    assert "partial_count" in plan or "partial_sum" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_chunk_dedup_skinny_shuffles(spark):
+    """Cross-doc chunk detection must shuffle md5 hashes, never the
+    document text: no plan node below the first aggregate may carry the
+    text column, and the distinct must partial-aggregate."""
+    plan = _plan(spark, "chunk_dedup_docs")
+    assert "CartesianProduct" not in plan
+    # text is consumed by the chunking projection; it must not appear in
+    # any exchange (shuffle) output schema
+    for ln in plan.splitlines():
+        if "Exchange" in ln and "hashpartitioning" in ln:
+            assert "text" not in ln, ln
+
+
+def test_pack_sequences_single_shuffle(spark):
+    """Packing must be ONE hash repartition on bucket + the per-bucket
+    kernel: no range exchange (global sort), no second hash exchange."""
+    plan = _plan(spark, "pack_sequences_docs")
+    assert "FlatMapGroupsInPandas" in plan
+    assert "rangepartitioning" not in plan
+    n_hash_exchanges = sum(
+        1 for ln in plan.splitlines()
+        if "Exchange hashpartitioning" in ln)
+    assert n_hash_exchanges <= 2, plan  # repartition + groupBy reuse
