@@ -35,20 +35,45 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from tools.scaling_bench import calibrate_vcpu_throughput, run_at  # noqa: E402
 
 
-def wait_for_quiet(gate: float, timeout_min: float) -> tuple[float, float, bool]:
-    """Poll 1-min loadavg every 60s until <= gate or timeout.
+def _steal_probe_once() -> float:
+    """1-way run of the cache-resident probe: measures per-core speed
+    including hypervisor steal, which loadavg cannot see (triple-6
+    lesson: gate passed at load 0.39 while this probe read 0.41s vs the
+    0.20s calibration — per-core throughput was HALVED by neighbors)."""
+    t0 = time.time()
+    _probe_cpu_work_local(0)
+    return time.time() - t0
 
-    Returns (wait_minutes, load_at_start, expired)."""
+
+def _probe_cpu_work_local(_):
+    import numpy as np
+
+    x = np.arange(65536, dtype=np.uint64)
+    for _ in range(2000):
+        x ^= x >> np.uint64(33)
+        x *= np.uint64(0xFF51AFD7ED558CCD)
+    return int(x[0])
+
+
+def wait_for_quiet(gate: float, timeout_min: float,
+                   steal_gate: float | None = None
+                   ) -> tuple[float, float, float, bool]:
+    """Poll every 60s until 1-min loadavg <= gate AND (if steal_gate)
+    the 1-way cpu probe <= steal_gate seconds, or timeout.
+
+    Returns (wait_minutes, load_at_start, probe_at_start, expired)."""
     t0 = time.time()
     while True:
         load = os.getloadavg()[0]
+        probe = _steal_probe_once() if steal_gate is not None else -1.0
         waited = (time.time() - t0) / 60.0
-        if load <= gate:
-            return round(waited, 1), round(load, 2), False
+        ok = load <= gate and (steal_gate is None or probe <= steal_gate)
+        if ok:
+            return round(waited, 1), round(load, 2), round(probe, 3), False
         if waited >= timeout_min:
-            return round(waited, 1), round(load, 2), True
-        print(f"load gate: 1-min load {load:.2f} > {gate} "
-              f"(waited {waited:.0f} min)", flush=True)
+            return round(waited, 1), round(load, 2), round(probe, 3), True
+        print(f"gate: 1-min load {load:.2f} (<= {gate}?) probe {probe:.3f}s"
+              f" (<= {steal_gate}?) — waited {waited:.0f} min", flush=True)
         time.sleep(60)
 
 
@@ -60,6 +85,13 @@ def main() -> int:
     ap.add_argument("--trials", type=int, default=3)
     ap.add_argument("--gate", type=float, default=0.60)
     ap.add_argument("--gate-timeout", type=float, default=30.0)
+    ap.add_argument("--steal-gate", type=float, default=None,
+                    help="also require the 1-way cpu probe <= this many "
+                         "seconds (steal-aware gate; calibration ~0.20s)")
+    ap.add_argument("--per-leg", action="store_true",
+                    help="apply the gate before EACH leg, not just the "
+                         "trial start (a mid-trial burst still lands "
+                         "inside a leg; this only narrows the window)")
     ap.add_argument("--generate", action="store_true",
                     help="generate the corpus here (seed 42) if no --input")
     ap.add_argument("--out", default="BENCH/scaling_gated.json")
@@ -92,11 +124,15 @@ def main() -> int:
     report = {}
     effs = []
     for t in range(1, args.trials + 1):
-        wait_min, load0, expired = wait_for_quiet(args.gate,
-                                                  args.gate_timeout)
+        wait_min, load0, probe0, expired = wait_for_quiet(
+            args.gate, args.gate_timeout, args.steal_gate)
         probe = calibrate_vcpu_throughput()
         runs = []
+        leg_gates = []
         for cpus in (args.n, 4 * args.n):
+            if args.per_leg and runs:
+                leg_gates.append(wait_for_quiet(
+                    args.gate, args.gate_timeout, args.steal_gate))
             print(f"trial {t}: running at local[{cpus}] ...", flush=True)
             runs.append(run_at(cpus, input_path, args.files,
                                f"{tmp}/t{t}", args.shuffle_mult,
@@ -112,8 +148,10 @@ def main() -> int:
             "runs": runs,
             "scaling_efficiency_N_to_4N": eff,
             "loadavg_at_start": load0,
+            "steal_probe_at_start": probe0,
             "gate_wait_min": wait_min,
             "load_gate_expired": expired,
+            "leg_gates": leg_gates,
         }
         Path(args.out).write_text(json.dumps(report, indent=1))
         print(f"trial {t}: efficiency {eff} (load {load0}, "
