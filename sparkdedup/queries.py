@@ -637,7 +637,9 @@ def q_neardup_clusters_docs(spark, sf_dir):
     return clusters.select(F.col("file_id").alias("doc_id"), "cluster_id")
 
 
-SQL_NEARDUP_CLUSTERS_DOCS = """
+# shared prefix: the exact-edge set + recursive closure (used by the
+# clusters gate and the cluster-representative gate below)
+_SQL_NEARDUP_CLOSURE = """
 WITH RECURSIVE words AS (
   SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents
 ), grams AS (
@@ -664,7 +666,54 @@ WITH RECURSIVE words AS (
   UNION
   SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
 )
+"""
+
+SQL_NEARDUP_CLUSTERS_DOCS = _SQL_NEARDUP_CLOSURE + """
 SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY 1
+"""
+
+
+def q_cluster_rep_docs(spark, sf_dir):
+    """Cluster-representative selection (the 'which copy do we keep'
+    step after near-dup clustering): within every near-dup cluster,
+    the representative is the member with the most content (max
+    n_chars, ties broken by min doc_id); every doc gets an is_rep
+    flag a curation pipeline filters on.
+
+    The per-cluster argmax is deliberately TWO partial-aggregated
+    aggregations (max n_chars per cluster, then min doc_id among the
+    maxima) and a hash join — NO cluster-wide window: a boilerplate
+    mega-cluster of 10^8 members partial-aggregates map-side instead
+    of gathering into one task (the same discipline as
+    grouped_rank_scalable, needed here only for an argmax, which
+    aggregations express exactly)."""
+    clusters = q_neardup_clusters_docs(spark, sf_dir)
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    j = clusters.join(docs, "doc_id")
+    best = j.groupBy("cluster_id").agg(F.max("n_chars").alias("_mx"))
+    rep = (j.join(best, "cluster_id")
+             .filter(F.col("n_chars") == F.col("_mx"))
+             .groupBy("cluster_id").agg(F.min("doc_id").alias("_rep")))
+    return (j.join(rep, "cluster_id")
+              .select("doc_id", "cluster_id",
+                      (F.col("doc_id") == F.col("_rep")).alias("is_rep")))
+
+
+SQL_CLUSTER_REP_DOCS = _SQL_NEARDUP_CLOSURE + """
+, cl AS (
+  SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY 1
+), j AS (
+  SELECT cl.doc_id, cl.cluster_id, d.n_chars
+  FROM cl JOIN documents d USING (doc_id)
+), best AS (
+  SELECT cluster_id, max(n_chars) AS mx FROM j GROUP BY 1
+), rep AS (
+  SELECT j.cluster_id, min(j.doc_id) AS rep
+  FROM j JOIN best ON j.cluster_id = best.cluster_id AND j.n_chars = best.mx
+  GROUP BY 1
+)
+SELECT j.doc_id, j.cluster_id, j.doc_id = rep.rep AS is_rep
+FROM j JOIN rep ON j.cluster_id = rep.cluster_id
 """
 
 
@@ -875,6 +924,150 @@ SELECT ch.doc_id,
        (count(dup._dup) * 2 <= count(*)) AS keep
 FROM ch LEFT JOIN dup ON ch.h = dup.h
 GROUP BY ch.doc_id
+"""
+
+
+def q_curation_verdict_docs(spark, sf_dir):
+    """The END-TO-END curation verdict: one DataFrame DAG that runs the
+    four standard training-data filters over the corpus split
+    (doc_id % 13 != 0 — the same corpus/benchmark split the
+    decontamination gate uses) and emits per-doc flags plus the final
+    keep decision:
+      too_short    — n_words < 30;
+      repetitive   — Gopher top-word-frac > 0.125 OR dup-3-gram-frac
+                     > 0.01 (same thresholds/rounding as
+                     repetition_filter_docs; docs under 3 words are
+                     not scored — they are too_short anyway);
+      contaminated — >= 10% distinct word-3-gram overlap with the
+                     benchmark split (decontaminate_docs semantics,
+                     broadcast gram dictionary);
+      dup_nonrep   — exact duplicate (md5 of text, corpus-side groups)
+                     that is not its group's min-doc_id representative;
+      keep         — none of the above.
+
+    Plan shape: ONE scan feeds four branches — the repetition metrics'
+    skinny word shuffle, the broadcast contamination semi-join, the
+    32-hex md5 dup groupBy, and the base projection — all re-joined on
+    doc_id; Catalyst broadcast-joins the tiny flagged sets back. This
+    is the query a 100-TB curation run actually executes nightly."""
+    docs = _read(spark, sf_dir, "documents").filter(F.col("doc_id") % 13 != 0)
+    w = F.split(F.trim("text"), r"[ \t\n\f\r]+")
+    base = (docs.select("doc_id", "text", w.alias("w"))
+                .withColumn("n_words", F.size("w")))
+
+    # repetition metrics (n_words >= 3 only)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size("w") - 2),
+        lambda i: F.concat_ws(
+            " ", F.element_at("w", i), F.element_at("w", i + 1),
+            F.element_at("w", i + 2)))
+    sized = base.filter(F.col("n_words") >= 3)
+    gm = sized.select(
+        "doc_id", "n_words",
+        F.size(grams).cast("long").alias("n_grams"),
+        F.size(F.array_distinct(grams)).cast("long").alias("n_distinct"))
+    wc = (sized.select("doc_id", F.explode("w").alias("word"))
+               .groupBy("doc_id", "word").agg(F.count("*").alias("c")))
+    tw = wc.groupBy("doc_id").agg(F.max("c").alias("top_c"))
+    repf = (gm.join(tw, "doc_id")
+              .select("doc_id",
+                      ((F.round(F.col("top_c") / F.col("n_words"), 6)
+                        > 0.125) |
+                       (F.round(F.lit(1.0)
+                                - F.col("n_distinct") / F.col("n_grams"), 6)
+                        > 0.01)).alias("_repet")))
+
+    cont = q_decontaminate_docs(spark, sf_dir).select(
+        "doc_id", F.lit(True).alias("_cont"))
+
+    reps = (docs.groupBy(F.md5("text").alias("_th"))
+                .agg(F.min("doc_id").alias("_rep")))
+    dup = (docs.select("doc_id", F.md5("text").alias("_th"))
+               .join(reps, "_th")
+               .select("doc_id", (F.col("doc_id") != F.col("_rep"))
+                       .alias("_dupnr")))
+
+    out = (base.select("doc_id", "n_words")
+               .join(repf, "doc_id", "left")
+               .join(cont, "doc_id", "left")
+               .join(dup, "doc_id"))
+    too_short = F.col("n_words") < 30
+    repetitive = F.coalesce(F.col("_repet"), F.lit(False))
+    contaminated = F.coalesce(F.col("_cont"), F.lit(False))
+    dup_nonrep = F.col("_dupnr")
+    return out.select(
+        "doc_id", too_short.alias("too_short"),
+        repetitive.alias("repetitive"),
+        contaminated.alias("contaminated"),
+        dup_nonrep.alias("dup_nonrep"),
+        (~(too_short | repetitive | contaminated | dup_nonrep))
+        .alias("keep"))
+
+
+SQL_CURATION_VERDICT_DOCS = """
+WITH corpus AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 13 <> 0
+), words AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM corpus
+), sized AS (
+  SELECT doc_id, w, len(w) AS n_words FROM words
+), ex AS (
+  SELECT doc_id, unnest(w) AS word FROM sized WHERE n_words >= 3
+), wc AS (
+  SELECT doc_id, word, count(*) AS c FROM ex GROUP BY 1, 2
+), tw AS (
+  SELECT doc_id, max(c) AS top_c FROM wc GROUP BY 1
+), gm AS (
+  SELECT doc_id, n_words,
+         list_transform(range(1, n_words - 2 + 1),
+                        i -> array_to_string(w[i:i+2], ' ')) AS g
+  FROM sized WHERE n_words >= 3
+), repf AS (
+  SELECT gm.doc_id,
+         (round(top_c * 1.0 / n_words, 6) > 0.125
+          OR round(1.0 - len(list_distinct(g)) * 1.0 / len(g), 6) > 0.01)
+           AS repet
+  FROM gm JOIN tw ON gm.doc_id = tw.doc_id
+), allwords AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents
+), allgrams AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, len(w) - 2 + 1),
+           i -> array_to_string(w[i:i+2], ' '))) AS g
+  FROM allwords WHERE len(w) >= 3
+), inv AS (
+  SELECT doc_id, unnest(g) AS gram FROM allgrams
+), bench AS (
+  SELECT DISTINCT gram FROM inv WHERE doc_id % 13 = 0
+), cinv AS (
+  SELECT doc_id, gram FROM inv WHERE doc_id % 13 <> 0
+), csizes AS (
+  SELECT doc_id, count(*) AS n_grams FROM cinv GROUP BY 1
+), hits AS (
+  SELECT c.doc_id, count(*) AS shared FROM cinv c JOIN bench USING (gram)
+  GROUP BY 1
+), cont AS (
+  SELECT h.doc_id, TRUE AS cont
+  FROM hits h JOIN csizes s ON h.doc_id = s.doc_id
+  WHERE round(shared * 1.0 / n_grams, 6) >= 0.1
+), reps AS (
+  SELECT md5(text) AS th, min(doc_id) AS rep FROM corpus GROUP BY 1
+), dup AS (
+  SELECT c.doc_id, c.doc_id <> reps.rep AS dupnr
+  FROM corpus c JOIN reps ON md5(c.text) = reps.th
+)
+SELECT s.doc_id,
+       s.n_words < 30 AS too_short,
+       coalesce(repf.repet, FALSE) AS repetitive,
+       coalesce(cont.cont, FALSE) AS contaminated,
+       dup.dupnr AS dup_nonrep,
+       NOT (s.n_words < 30 OR coalesce(repf.repet, FALSE)
+            OR coalesce(cont.cont, FALSE) OR dup.dupnr) AS keep
+FROM sized s
+LEFT JOIN repf ON s.doc_id = repf.doc_id
+LEFT JOIN cont ON s.doc_id = cont.doc_id
+JOIN dup ON s.doc_id = dup.doc_id
 """
 
 
@@ -2892,6 +3085,8 @@ QUERIES = {
     "kll_quantiles_orders": q_kll_quantiles_orders,
     "doc_length_buckets": q_doc_length_buckets,
     "chunk_dedup_docs": q_chunk_dedup_docs,
+    "cluster_rep_docs": q_cluster_rep_docs,
+    "curation_verdict_docs": q_curation_verdict_docs,
     "pack_sequences_docs": q_pack_sequences_docs,
     "corpus_stopword_docs": q_corpus_stopword_docs,
     "source_mix_weights": q_source_mix_weights,
@@ -2955,6 +3150,8 @@ ORACLES = {
     "kll_quantiles_orders": SQL_KLL_QUANTILES_ORDERS,
     "doc_length_buckets": SQL_DOC_LENGTH_BUCKETS,
     "chunk_dedup_docs": SQL_CHUNK_DEDUP_DOCS,
+    "cluster_rep_docs": SQL_CLUSTER_REP_DOCS,
+    "curation_verdict_docs": SQL_CURATION_VERDICT_DOCS,
     "pack_sequences_docs": SQL_PACK_SEQUENCES_DOCS,
     "corpus_stopword_docs": SQL_CORPUS_STOPWORD_DOCS,
     "source_mix_weights": SQL_SOURCE_MIX_WEIGHTS,

@@ -310,3 +310,13 @@ def test_pack_sequences_single_shuffle(spark):
         1 for ln in plan.splitlines()
         if "Exchange hashpartitioning" in ln)
     assert n_hash_exchanges <= 2, plan  # repartition + groupBy reuse
+
+
+def test_curation_verdict_composite_plan(spark):
+    """The four-filter composite must broadcast the tiny flagged sets
+    (contamination dictionary/flags) and never cartesian; the dup
+    groupBy and word shuffle must partial-aggregate."""
+    plan = _plan(spark, "curation_verdict_docs")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "partial_count" in plan or "partial_min" in plan
