@@ -2764,6 +2764,62 @@ WHERE rank <= 10
 _SYS_OFFSET = 0.3819660112501051  # deterministic systematic-draw offset
 
 
+def q_streaming_chunk_dedup(spark, sf_dir):
+    """STREAMING duplicate-chunk index (the streaming lift of
+    chunk_dedup_docs — what an ingest tick runs to flag boilerplate as
+    documents arrive): documents consumed as a file stream, chunked
+    into 20-word windows JVM-side (same split/slice/md5 exprs as the
+    batch gate), then a custom applyInPandasWithState operator keyed by
+    chunk hash maintains the distinct-doc set per chunk (capped +
+    saturating at scale — exact regime here) and emits
+    (h, n_docs, rep_doc_id) every trigger. Batch-split-invariance makes
+    the gate deterministic: n_docs only grows and rep_doc_id only
+    shrinks across triggers, so max/min per hash over the update-mode
+    sink equals the batch GROUP BY however AvailableNow split the
+    stream. Output: every chunk seen in >= 2 distinct docs, with its
+    exact doc count and min-id representative; oracle = the plain
+    batch aggregation."""
+    import uuid
+
+    from sparkdedup.streaming.stateful import streaming_chunk_index
+
+    batch = _read(spark, sf_dir, "documents")
+    stream = (spark.readStream.schema(batch.schema)
+              .option("pathGlobFilter", "documents.parquet").parquet(sf_dir))
+    w = F.split(F.trim("text"), r"[ \t\n\f\r]+")
+    chunks = F.transform(
+        F.sequence(F.lit(1), F.size("w"), F.lit(20)),
+        lambda s: F.md5(F.concat_ws(" ", F.slice("w", s, 20))))
+    ex = (stream.select("doc_id", w.alias("w"))
+                .filter(F.size("w") >= 1)
+                .select("doc_id", F.explode(chunks).alias("h")))
+    idx = streaming_chunk_index(ex)
+    name = f"sci_{uuid.uuid4().hex[:12]}"
+    ckpt = _stream_ckpt("chunk_index")
+    q = (idx.writeStream.outputMode("update").format("memory")
+         .queryName(name).option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    sink = spark.table(name)
+    return (sink.groupBy("h")
+                .agg(F.max("n_docs").alias("n_docs"),
+                     F.min("rep_doc_id").alias("rep_doc_id"))
+                .filter(F.col("n_docs") >= 2))
+
+
+SQL_STREAMING_CHUNK_DEDUP = """
+WITH w AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents
+  WHERE len(string_split_regex(trim(text), '\\s+')) >= 1
+), ch AS (
+  SELECT doc_id, md5(array_to_string(list_slice(w, s, s + 19), ' ')) AS h
+  FROM w, unnest(generate_series(1, len(w), 20)) AS t(s)
+)
+SELECT h, count(DISTINCT doc_id) AS n_docs, min(doc_id) AS rep_doc_id
+FROM ch GROUP BY h HAVING count(DISTINCT doc_id) >= 2
+"""
+
+
 def q_varopt_orders(spark, sf_dir):
     """VarOpt_k weighted sample (reference sampling/varopt_items_sketch.go:
     94-250): per order priority, k=50 orders weighted by o_totalprice —
@@ -3127,6 +3183,7 @@ QUERIES = {
     "streaming_hourly_rollup": q_streaming_hourly_rollup,
     "streaming_first_seen": q_streaming_first_seen,
     "streaming_heavy_hitters": q_streaming_heavy_hitters,
+    "streaming_chunk_dedup": q_streaming_chunk_dedup,
 }
 
 ORACLES = {
@@ -3194,6 +3251,7 @@ ORACLES = {
     "streaming_hourly_rollup": SQL_STREAMING_HOURLY_ROLLUP,
     "streaming_first_seen": SQL_STREAMING_FIRST_SEEN,
     "streaming_heavy_hitters": SQL_STREAMING_HEAVY_HITTERS,
+    "streaming_chunk_dedup": SQL_STREAMING_CHUNK_DEDUP,
     # hll_distinct_users / hll_union_users: deliberately rows-only — the
     # HLL estimate is approximate by construction and Spark's DataSketches
     # HLL binary is not ANSI-SQL-expressible; accuracy + binary compat are

@@ -94,3 +94,74 @@ def streaming_heavy_hitters(events: DataFrame, group_col: str,
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# streaming duplicate-chunk index (the streaming lift of chunk-level dedup)
+# ---------------------------------------------------------------------------
+
+CHUNK_STATE_SCHEMA = StructType([
+    StructField("docs", StringType()),    # ","-packed sorted doc_id set
+    StructField("saturated", LongType()),  # docs dropped past the cap
+])
+
+CHUNK_OUTPUT_SCHEMA = StructType([
+    StructField("h", StringType()),
+    StructField("n_docs", LongType()),
+    StructField("rep_doc_id", LongType()),
+])
+
+
+def make_chunk_index_fn(max_docs_per_chunk: int):
+    """State machine for the per-chunk-hash duplicate index: state is the
+    distinct doc_id set that contained this chunk, kept as the SMALLEST
+    `max_docs_per_chunk` ids, so a boilerplate chunk in 10^8 docs holds
+    O(cap) state. n_docs = |kept set|, i.e. min(true distinct, cap):
+    EXACT whenever the cap never binds (the gate sizes the cap >= the
+    corpus), and a saturating LOWER bound past the cap — which is all
+    dup detection needs (n_docs >= 2 is preserved exactly for any cap
+    >= 2, and the kept set always contains the global min id, so
+    rep_doc_id is exact in every regime; an evicted-id counter is
+    emitted into state for telemetry, but never added to n_docs because
+    evicted ids could recount on re-arrival). Emissions are
+    batch-split-invariant upward: n_docs only grows and rep_doc_id only
+    shrinks across triggers, so max(n_docs)/min(rep_doc_id) per hash
+    over an update-mode sink equals the batch answer however
+    AvailableNow splits the input."""
+
+    def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        docs: set[int] = set()
+        sat = 0
+        if state.exists:
+            blob, sat = state.get
+            if blob:
+                docs = {int(x) for x in blob.split(",")}
+        for pdf in pdfs:
+            docs.update(int(d) for d in pdf["doc_id"])
+        if len(docs) > max_docs_per_chunk:
+            keep = sorted(docs)[:max_docs_per_chunk]
+            sat += len(docs) - len(keep)
+            docs = set(keep)
+        state.update((",".join(str(d) for d in sorted(docs)), sat))
+        yield pd.DataFrame({
+            "h": [key[0]],
+            "n_docs": [len(docs)],
+            "rep_doc_id": [min(docs)],
+        })
+
+    return fn
+
+
+def streaming_chunk_index(chunks: DataFrame,
+                          max_docs_per_chunk: int = 1 << 20) -> DataFrame:
+    """chunks: streaming (h string, doc_id long) -> per-chunk distinct-doc
+    counts + min-id representative, emitted every trigger."""
+    src = chunks.select(chunks["h"].cast("string").alias("h"),
+                        chunks["doc_id"].cast("long").alias("doc_id"))
+    return src.groupBy("h").applyInPandasWithState(
+        make_chunk_index_fn(max_docs_per_chunk),
+        outputStructType=CHUNK_OUTPUT_SCHEMA,
+        stateStructType=CHUNK_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
