@@ -243,14 +243,35 @@ def main() -> int:
                         for n, v in samples.items()}
 
     shutil.rmtree(stage_dir, ignore_errors=True)
+
+    # r5 verdict ask #3: epoch-normalize IN-FILE so cross-round per-query
+    # comparisons need no manual acquittal. Normalized = warm /
+    # parallel_epoch_factor (the full-width python probe is the right
+    # denominator for these python-kernel-dominated queries; for pure-JVM
+    # queries it over-corrects slightly — both raw and normalized are
+    # kept, raw stays the ground truth).
+    pef = probe.get("parallel_epoch_factor") or 1.0
+    warm_normalized = {n: round(v / pef, 3) for n, v in warm_medians.items()}
+    # pipeline ran inside its OWN probe bracket; normalize by the mean of
+    # the before/after full-width probes against the same r4 reference
+    bracket = statistics.mean([probe_before["spark_py_seconds"],
+                               probe_after["spark_py_seconds"]])
+    pipe_factor = round(bracket / SPARK_PY_PROBE_REF_SECONDS, 3)
+    pipeline["bracket_epoch_factor"] = pipe_factor
+    pipeline["files_per_sec_normalized"] = round(
+        pipeline["files_per_sec"] * pipe_factor, 2)
+
     print(json.dumps({
         "metric": "total_wall_sec",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "queries_warm": warm_medians,
+        "queries_warm_normalized": warm_normalized,
         "queries_cold_sum": round(sum(timings.values()), 3),
         "queries_warm_sum": round(sum(warm_medians.values()), 3),
+        "queries_warm_normalized_sum": round(
+            sum(warm_normalized.values()), 3),
         "probe": probe,
         "sf": sf_dir.rstrip("/").split("sf")[-1],
         "pipeline": pipeline,

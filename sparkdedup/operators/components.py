@@ -102,6 +102,35 @@ def connected_components(
     return _with_singletons(nodes, labels), cfg.max_cc_iters
 
 
+def cluster_representatives(
+    clusters: DataFrame,
+    attrs: DataFrame,
+    id_col: str = "file_id",
+    cluster_col: str = "cluster_id",
+    size_col: str = "n_tokens",
+) -> DataFrame:
+    """Pick one representative per cluster from a MATERIALIZED clusters
+    table: the member with max `size_col`, ties broken by min id.
+    Returns (id_col, cluster_col, is_rep).
+
+    This is the production shape of the `cluster_rep_docs` gate query
+    (which must recompute its closure inline to stay self-contained): one
+    hash join against the attribute table, then the argmax as TWO
+    partial-aggregated aggregations and a join back — no cluster-wide
+    window, so a 10^8-member boilerplate mega-cluster partial-aggregates
+    map-side instead of gathering into a single task.
+    """
+    j = clusters.select(id_col, cluster_col).join(
+        attrs.select(id_col, size_col), id_col)
+    best = j.groupBy(cluster_col).agg(F.max(size_col).alias("_mx"))
+    rep = (j.join(best, cluster_col)
+             .filter(F.col(size_col) == F.col("_mx"))
+             .groupBy(cluster_col).agg(F.min(id_col).alias("_rep")))
+    return (j.join(rep, cluster_col)
+             .select(id_col, cluster_col,
+                     (F.col(id_col) == F.col("_rep")).alias("is_rep")))
+
+
 def _with_singletons(nodes: DataFrame, labels: DataFrame) -> DataFrame:
     """Re-attach edge-less nodes (their own cluster) to the converged
     labels of the edge-touched subgraph."""

@@ -258,3 +258,17 @@ class DedupPipeline:
         self.metrics["total_seconds"] = round(time.time() - t_start, 3)
         self.metrics["config_hash"] = self.cfg.config_hash()
         return PipelineResult(sigs, edges, clusters, self.metrics)
+
+    def representatives(self, result: PipelineResult) -> DataFrame:
+        """Production 'which copy do we keep' step: reads the MATERIALIZED
+        clusters table (checkpointed by run()) plus signature sizes — one
+        join + two partial aggs, no recomputation of the closure (the
+        cluster_rep_docs gate query recomputes inline only because gate
+        queries must be self-contained)."""
+        from sparkdedup.operators.components import cluster_representatives
+
+        return cluster_representatives(
+            result.clusters,
+            result.signatures.select("file_id", "n_tokens"),
+            id_col="file_id", cluster_col="cluster_id",
+            size_col="n_tokens")

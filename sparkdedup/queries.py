@@ -680,23 +680,20 @@ def q_cluster_rep_docs(spark, sf_dir):
     n_chars, ties broken by min doc_id); every doc gets an is_rep
     flag a curation pipeline filters on.
 
-    The per-cluster argmax is deliberately TWO partial-aggregated
-    aggregations (max n_chars per cluster, then min doc_id among the
-    maxima) and a hash join — NO cluster-wide window: a boilerplate
-    mega-cluster of 10^8 members partial-aggregates map-side instead
-    of gathering into one task (the same discipline as
-    grouped_rank_scalable, needed here only for an argmax, which
-    aggregations express exactly)."""
+    Delegates to operators.components.cluster_representatives (one hash
+    join + TWO partial-aggregated aggregations, NO cluster-wide window —
+    a boilerplate mega-cluster of 10^8 members partial-aggregates
+    map-side instead of gathering into one task). NOTE: this gate query
+    recomputes the full LSH->verify->CC closure inline ONLY because gate
+    queries must be self-contained; a production job reads the
+    checkpointed clusters table instead (DedupPipeline.representatives)."""
+    from sparkdedup.operators.components import cluster_representatives
+
     clusters = q_neardup_clusters_docs(spark, sf_dir)
     docs = _read(spark, sf_dir, "documents").select("doc_id", "n_chars")
-    j = clusters.join(docs, "doc_id")
-    best = j.groupBy("cluster_id").agg(F.max("n_chars").alias("_mx"))
-    rep = (j.join(best, "cluster_id")
-             .filter(F.col("n_chars") == F.col("_mx"))
-             .groupBy("cluster_id").agg(F.min("doc_id").alias("_rep")))
-    return (j.join(rep, "cluster_id")
-              .select("doc_id", "cluster_id",
-                      (F.col("doc_id") == F.col("_rep")).alias("is_rep")))
+    return cluster_representatives(clusters, docs, id_col="doc_id",
+                                   cluster_col="cluster_id",
+                                   size_col="n_chars")
 
 
 SQL_CLUSTER_REP_DOCS = _SQL_NEARDUP_CLOSURE + """
@@ -3115,58 +3112,20 @@ GROUP BY 1, 2
 # --------------------------------------------------------------------------
 # catalog
 # --------------------------------------------------------------------------
+# ROTATION POLICY (driver gate checks only the FIRST 50 entries): the dict
+# is ordered so every catalog query gets a driver CORRECTNESS row at least
+# once per two consecutive rounds.
+#   Tier 1 — queries with NO driver row last round (r5 gated old positions
+#            1-50; these 17 were 51-67) come first.
+#   Tier 2 — queries whose operator changed THIS round (signature / LSH /
+#            containment / cluster-rep family in r6) + queries new this
+#            round.
+#   Tier 3 — remaining last-round-passed queries, filling the window.
+#   Tail   — last-round-passed, stable queries rotated OUT this round
+#            (their r5 rows are on record; they rotate back in next round).
 
 QUERIES = {
-    "exact_dedup_docs": q_exact_dedup_docs,
-    "dedup_clusters_docs": q_dedup_clusters_docs,
-    "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
-    "decontaminate_docs": q_decontaminate_docs,
-    "substr_containment_docs": q_substr_containment_docs,
-    "minhash_lsh_docs": q_minhash_lsh_docs,
-    "incremental_neardup_docs": q_incremental_neardup_docs,
-    "repetition_filter_docs": q_repetition_filter_docs,
-    "stratified_sample_docs": q_stratified_sample_docs,
-    "token_count_docs": q_token_count_docs,
-    "quality_score_docs": q_quality_score_docs,
-    "lang_id_docs": q_lang_id_docs,
-    "doc_fingerprint": q_doc_fingerprint,
-    "freq_top_terms": q_freq_top_terms,
-    "quantiles_prices": q_quantiles_prices,
-    "tail_quantiles_prices": q_tail_quantiles_prices,
-    "tdigest_prices": q_tdigest_prices,
-    "req_topk_prices": q_req_topk_prices,
-    "req_bottomk_prices": q_req_bottomk_prices,
-    "head_quantiles_prices": q_head_quantiles_prices,
-    "kll_rank_cdf_orders": q_kll_rank_cdf_orders,
-    "kll_quantiles_orders": q_kll_quantiles_orders,
-    "doc_length_buckets": q_doc_length_buckets,
-    "chunk_dedup_docs": q_chunk_dedup_docs,
-    "cluster_rep_docs": q_cluster_rep_docs,
-    "curation_verdict_docs": q_curation_verdict_docs,
-    "pack_sequences_docs": q_pack_sequences_docs,
-    "corpus_stopword_docs": q_corpus_stopword_docs,
-    "source_mix_weights": q_source_mix_weights,
-    "distinct_users_by_type": q_distinct_users_by_type,
-    "hll_distinct_users": q_hll_distinct_users,
-    "kmv_distinct_tokens": q_kmv_distinct_tokens,
-    "pricing_summary": q_pricing_summary,
-    "top_revenue_orders": q_top_revenue_orders,
-    "top_customers_per_nation": q_top_customers_per_nation,
-    "sessionize_events": q_sessionize_events,
-    "hourly_event_rollup": q_hourly_event_rollup,
-    "repeat_buyers_setops": q_repeat_buyers_setops,
-    "embedding_norms": q_embedding_norms,
-    "ann_cosine_topk": q_ann_cosine_topk,
-    "cube_sales": q_cube_sales,
-    "asof_last_view": q_asof_last_view,
-    "embedding_neardup_pairs": q_embedding_neardup_pairs,
-    "embedding_dedup_docs": q_embedding_dedup_docs,
-    "simhash_near_docs": q_simhash_near_docs,
-    "pivot_status": q_pivot_status,
-    "range_join_activity": q_range_join_activity,
-    "tuple_user_spend": q_tuple_user_spend,
-    "bloom_member_custkeys": q_bloom_member_custkeys,
-    "cms_user_counts": q_cms_user_counts,
+    # ---- Tier 1: no CORRECTNESS_r05 row (old positions 51-67) ----
     "reservoir_orders": q_reservoir_orders,
     "anotb_customers": q_anotb_customers,
     "kll_hist_prices": q_kll_hist_prices,
@@ -3184,6 +3143,60 @@ QUERIES = {
     "streaming_first_seen": q_streaming_first_seen,
     "streaming_heavy_hitters": q_streaming_heavy_hitters,
     "streaming_chunk_dedup": q_streaming_chunk_dedup,
+    # ---- Tier 2: operator changed in r6 / new in r6 ----
+    "minhash_lsh_docs": q_minhash_lsh_docs,
+    "incremental_neardup_docs": q_incremental_neardup_docs,
+    "cluster_rep_docs": q_cluster_rep_docs,
+    "substr_containment_docs": q_substr_containment_docs,
+    "exact_dedup_docs": q_exact_dedup_docs,
+    "dedup_clusters_docs": q_dedup_clusters_docs,
+    "curation_verdict_docs": q_curation_verdict_docs,
+    "chunk_dedup_docs": q_chunk_dedup_docs,
+    # ---- Tier 3: r5-passed, kept in the window ----
+    "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+    "decontaminate_docs": q_decontaminate_docs,
+    "repetition_filter_docs": q_repetition_filter_docs,
+    "stratified_sample_docs": q_stratified_sample_docs,
+    "token_count_docs": q_token_count_docs,
+    "quality_score_docs": q_quality_score_docs,
+    "lang_id_docs": q_lang_id_docs,
+    "doc_fingerprint": q_doc_fingerprint,
+    "freq_top_terms": q_freq_top_terms,
+    "tail_quantiles_prices": q_tail_quantiles_prices,
+    "tdigest_prices": q_tdigest_prices,
+    "req_topk_prices": q_req_topk_prices,
+    "kll_rank_cdf_orders": q_kll_rank_cdf_orders,
+    "kll_quantiles_orders": q_kll_quantiles_orders,
+    "doc_length_buckets": q_doc_length_buckets,
+    "pack_sequences_docs": q_pack_sequences_docs,
+    "corpus_stopword_docs": q_corpus_stopword_docs,
+    "hll_distinct_users": q_hll_distinct_users,
+    "kmv_distinct_tokens": q_kmv_distinct_tokens,
+    "embedding_neardup_pairs": q_embedding_neardup_pairs,
+    "embedding_dedup_docs": q_embedding_dedup_docs,
+    "simhash_near_docs": q_simhash_near_docs,
+    "tuple_user_spend": q_tuple_user_spend,
+    "bloom_member_custkeys": q_bloom_member_custkeys,
+    "cms_user_counts": q_cms_user_counts,
+    # ---- Tail: r5-passed, rotated out of the r6 window (r5 rows on
+    # record; rotate back into the window in r7) ----
+    "quantiles_prices": q_quantiles_prices,
+    "req_bottomk_prices": q_req_bottomk_prices,
+    "head_quantiles_prices": q_head_quantiles_prices,
+    "source_mix_weights": q_source_mix_weights,
+    "distinct_users_by_type": q_distinct_users_by_type,
+    "pricing_summary": q_pricing_summary,
+    "top_revenue_orders": q_top_revenue_orders,
+    "top_customers_per_nation": q_top_customers_per_nation,
+    "sessionize_events": q_sessionize_events,
+    "hourly_event_rollup": q_hourly_event_rollup,
+    "repeat_buyers_setops": q_repeat_buyers_setops,
+    "embedding_norms": q_embedding_norms,
+    "ann_cosine_topk": q_ann_cosine_topk,
+    "cube_sales": q_cube_sales,
+    "asof_last_view": q_asof_last_view,
+    "pivot_status": q_pivot_status,
+    "range_join_activity": q_range_join_activity,
 }
 
 ORACLES = {

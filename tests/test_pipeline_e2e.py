@@ -175,3 +175,32 @@ def test_signature_stage_batch_invariance(spark, small_corpus):
     for col in ["kmv", "minh", "bands"]:
         for x, y in zip(s1[col], s8[col]):
             assert np.array_equal(np.asarray(x), np.asarray(y)), col
+
+
+def test_cluster_representatives_from_materialized_table(spark, pipeline_result):
+    """Production rep-selection path: reads the MATERIALIZED clusters
+    table (no closure recomputation) and picks argmax(n_tokens) per
+    cluster with min-file_id tie-break, exactly one rep per cluster."""
+    from sparkdedup.pipeline import PipelineResult, DedupPipeline
+
+    sigs = spark.createDataFrame(
+        pipeline_result["signatures"][["file_id", "n_tokens"]])
+    clusters = spark.createDataFrame(pipeline_result["clusters"])
+    pipe = DedupPipeline(spark, CFG)
+    reps = pipe.representatives(
+        PipelineResult(signatures=sigs, edges=None, clusters=clusters)
+    ).toPandas()
+
+    assert len(reps) == len(pipeline_result["clusters"])
+    per_cluster = reps.groupby("cluster_id")["is_rep"].sum()
+    assert (per_cluster == 1).all()
+
+    # brute-force expectation in pandas
+    j = pipeline_result["clusters"].merge(
+        pipeline_result["signatures"][["file_id", "n_tokens"]], on="file_id")
+    expect = {}
+    for cid, grp in j.groupby("cluster_id"):
+        mx = grp["n_tokens"].max()
+        expect[cid] = int(grp[grp["n_tokens"] == mx]["file_id"].min())
+    got = reps[reps.is_rep].set_index("cluster_id")["file_id"].to_dict()
+    assert got == expect

@@ -58,6 +58,26 @@ def test_query_matches_oracle(spark, duck, name):
     assert _hash(sdf) == _hash(odf), f"value hash mismatch for {name}"
 
 
+def test_catalog_rotation_window():
+    """Driver gate checks only the first 50 catalog entries (r5 verdict
+    protocol hole). Pin the rotation: every query with NO r5 driver row
+    must sit inside the r6 window, and oracles reference real queries."""
+    from sparkdedup.queries import ORACLES, QUERIES
+
+    names = list(QUERIES)
+    never_gated_r5 = {
+        "reservoir_orders", "anotb_customers", "kll_hist_prices",
+        "hll_union_users", "neardup_clusters_docs", "media_features",
+        "ann_lsh_lookup", "ann_ivf_lookup", "regional_supplier_volume",
+        "part_profit_by_nation", "varopt_orders", "varopt_subset_sum",
+        "reservoir_union_orders", "streaming_hourly_rollup",
+        "streaming_first_seen", "streaming_heavy_hitters",
+        "streaming_chunk_dedup",
+    }
+    assert never_gated_r5 <= set(names[:50])
+    assert set(ORACLES) <= set(QUERIES)
+
+
 def test_rows_only_queries_run(spark):
     from sparkdedup.queries import ORACLES, QUERIES
 
