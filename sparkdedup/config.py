@@ -33,6 +33,10 @@ class DedupConfig:
     jaccard_threshold: float = 0.70  # near-dup verification tau
     containment_min_shared: int = 8  # min shared KMV hashes for containment cand.
     containment_posting_cap: int = 32  # drop boilerplate-hot inverted-index hashes
+    # winnowed-anchor containment (the pipeline path; MOSS-style guarantee
+    # on the positional shingle stream — see operators/containment.py)
+    containment_anchor_window: int = 128  # w: window size over shingle stream
+    containment_probe_blocks: int = 4     # probes per doc (first P w-blocks)
     bucket_cap: int = 64             # LSH bucket size cap (mega-bucket guard)
     neighbor_window: int = 4         # pairs window inside capped mega-buckets
     max_cc_iters: int = 50           # connected-components iteration bound

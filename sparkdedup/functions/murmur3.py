@@ -100,24 +100,88 @@ def murmur3_128_int64_single(values: np.ndarray, seed: int) -> tuple[np.ndarray,
         return _final_mix(h1, h2, v, np.zeros_like(v), U64(8))
 
 
-def murmur3_128_int64_rows(rows: np.ndarray, seed: int) -> tuple[np.ndarray, np.ndarray]:
+# ---- fused in-place forms of the same mixes (identical math, zero
+# temporaries: every op writes into preallocated scratch, which matters in
+# the signature hot loop where these arrays are touched ~60 times) --------
+
+
+def _mix_k_ip(k: np.ndarray, c_in: np.uint64, rot: int, c_out: np.uint64,
+              t: np.ndarray, u: np.ndarray) -> np.ndarray:
+    """t = rotl(k * c_in, rot) * c_out; k untouched."""
+    np.multiply(k, c_in, out=t)
+    np.left_shift(t, U64(rot), out=u)
+    np.right_shift(t, U64(64 - rot), out=t)
+    np.bitwise_or(t, u, out=t)
+    np.multiply(t, c_out, out=t)
+    return t
+
+
+def _rotl_ip(h: np.ndarray, rot: int, t: np.ndarray) -> None:
+    np.left_shift(h, U64(rot), out=t)
+    np.right_shift(h, U64(64 - rot), out=h)
+    np.bitwise_or(h, t, out=h)
+
+
+def _fmix_ip(h: np.ndarray, t: np.ndarray) -> None:
+    np.right_shift(h, U64(33), out=t)
+    np.bitwise_xor(h, t, out=h)
+    np.multiply(h, _F1, out=h)
+    np.right_shift(h, U64(33), out=t)
+    np.bitwise_xor(h, t, out=h)
+    np.multiply(h, _F2, out=h)
+    np.right_shift(h, U64(33), out=t)
+    np.bitwise_xor(h, t, out=h)
+
+
+def _block_mix_ip(h1, h2, k1, k2, t, u) -> None:
+    np.bitwise_xor(h1, _mix_k_ip(k1, _C1, 31, _C2, t, u), out=h1)
+    _rotl_ip(h1, 27, t)
+    np.add(h1, h2, out=h1)
+    np.multiply(h1, _M5, out=h1)
+    np.add(h1, _A1, out=h1)
+    np.bitwise_xor(h2, _mix_k_ip(k2, _C2, 33, _C1, t, u), out=h2)
+    _rotl_ip(h2, 31, t)
+    np.add(h2, h1, out=h2)
+    np.multiply(h2, _M5, out=h2)
+    np.add(h2, _A2, out=h2)
+
+
+def murmur3_128_int64_rows(rows: np.ndarray,
+                           seed: int | np.ndarray
+                           ) -> tuple[np.ndarray, np.ndarray]:
     """Hash each ROW of a (n, m) uint64 matrix as an m-long stream
     (HashInt64SliceMurmur3 — reference internal/murmur3.go:99-124).
     Used for fixed-width shingles (m=5 token hashes) and LSH band rows (m=8).
+
+    seed may be an (n,) array for per-row seeds (the fused band-hash path:
+    all 16 bands in one call, each band row salted by its own seed).
     """
     with np.errstate(over="ignore"):
         rows = rows.astype(U64, copy=False)
         n, m = rows.shape
-        h1 = np.full(n, U64(seed), dtype=U64)
-        h2 = h1.copy()
-        nblocks = m >> 1
-        for i in range(nblocks):
-            h1, h2 = _block_mix(h1, h2, rows[:, 2 * i], rows[:, 2 * i + 1])
-        if m & 1:
-            k1 = rows[:, m - 1]
+        if isinstance(seed, np.ndarray):
+            h1 = seed.astype(U64).copy()
         else:
-            k1 = np.zeros(n, dtype=U64)
-        return _final_mix(h1, h2, k1, np.zeros(n, dtype=U64), U64(m << 3))
+            h1 = np.full(n, U64(seed), dtype=U64)
+        h2 = h1.copy()
+        t = np.empty(n, dtype=U64)
+        u = np.empty(n, dtype=U64)
+        for i in range(m >> 1):
+            _block_mix_ip(h1, h2, rows[:, 2 * i], rows[:, 2 * i + 1], t, u)
+        # final mix, in place (reference internal/murmur3.go:206-218)
+        if m & 1:
+            np.bitwise_xor(h1, _mix_k_ip(rows[:, m - 1], _C1, 31, _C2, t, u),
+                           out=h1)
+        length = U64(m << 3)
+        np.bitwise_xor(h1, length, out=h1)
+        np.bitwise_xor(h2, length, out=h2)
+        np.add(h1, h2, out=h1)
+        np.add(h2, h1, out=h2)
+        _fmix_ip(h1, t)
+        _fmix_ip(h2, t)
+        np.add(h1, h2, out=h1)
+        np.add(h2, h1, out=h2)
+        return h1, h2
 
 
 def _padded_matrix(data: list[bytes], lengths: np.ndarray, width: int) -> np.ndarray:

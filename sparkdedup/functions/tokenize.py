@@ -68,30 +68,48 @@ def _token_spans_ascii(buf: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     n = len(buf)
     if n == 0:
         return np.empty(0, np.int64), np.empty(0, np.int64)
-    cls = _CLS_TABLE[buf]
-    is_a = cls == _CLS_A
-    is_ad = is_a | (cls == _CLS_D)
-    # maximal [A|D] runs: starts where is_ad turns on, inclusive ends where
-    # it turns off (run-wise construction — no full-buffer accumulates)
-    rs = np.flatnonzero(is_ad[1:] & ~is_ad[:-1]) + 1
+    # class masks via uint8 range arithmetic, not a LUT gather (a 256-entry
+    # byte gather runs at ~0.4 GB/s in numpy; these comparisons stream at
+    # memory bandwidth). Wraparound does the range test: (x - lo) < span.
+    # Identity with _CLS_TABLE is pytest-pinned (test_property.py).
+    low = buf | np.uint8(0x20)
+    is_digit = (buf - np.uint8(48)) < np.uint8(10)
+    is_ad = ((low - np.uint8(97)) < np.uint8(26)) | (buf == np.uint8(95))
+    is_ad |= is_digit
+    # maximal [A|D] runs via ONE transition scan: every flip of is_ad is
+    # either a run start (now inside) or an exclusive run end (now outside)
+    flips = np.flatnonzero(is_ad[1:] != is_ad[:-1]) + 1
+    inside = is_ad[flips] if len(flips) else np.empty(0, bool)
+    rs = flips[inside]
+    re_ = flips[~inside]
     if is_ad[0]:
         rs = np.r_[0, rs]
-    re_ = np.flatnonzero(~is_ad[1:] & is_ad[:-1]) + 1  # exclusive ends
     if is_ad[-1]:
         re_ = np.r_[re_, n]
-    p_pos = np.flatnonzero(cls == _CLS_P)
+    # P = not [A|D] and not whitespace. Unicode \s over ASCII is
+    # {9..13, 28..31, 32} — \x1c-\x1f (FS/GS/RS/US) count as whitespace
+    # in python's re, unlike POSIX isspace.
+    is_p = ~(is_ad | ((buf - np.uint8(9)) < np.uint8(5))
+             | ((buf - np.uint8(28)) < np.uint8(5)))
+    p_pos = np.flatnonzero(is_p)
     # digit-led runs containing an A split in two ("99a9b" -> "99", "a9b"):
-    # the second token starts at the run's FIRST A (searchsorted, not a scan)
-    a_positions = np.flatnonzero(is_a)
+    # the second token starts at the run's FIRST A. Letter positions are
+    # only materialized when a digit-led run exists at all (identifiers
+    # can't start with a digit, so most buffers skip this entirely).
     has_a = np.zeros(len(rs), dtype=bool)
     split_at = np.empty(0, np.int64)
-    if len(rs) and len(a_positions):
-        digit_led = ~is_a[rs]
-        cand = np.minimum(np.searchsorted(a_positions, rs),
-                          len(a_positions) - 1)
-        first_a = a_positions[cand]
-        has_a = digit_led & (first_a >= rs) & (first_a < re_)
-        split_at = first_a[has_a]
+    digit_led = np.flatnonzero(is_digit[rs]) if len(rs) else \
+        np.empty(0, np.int64)
+    if len(digit_led):
+        a_positions = np.flatnonzero(is_ad & ~is_digit)
+        if len(a_positions):
+            dl_rs, dl_re = rs[digit_led], re_[digit_led]
+            cand = np.minimum(np.searchsorted(a_positions, dl_rs),
+                              len(a_positions) - 1)
+            first_a = a_positions[cand]
+            hit = (first_a >= dl_rs) & (first_a < dl_re)
+            has_a[digit_led[hit]] = True
+            split_at = first_a[hit]
     run1_ends = re_.copy()
     run1_ends[has_a] = split_at
     starts = np.concatenate([rs, split_at, p_pos])
@@ -140,10 +158,14 @@ def _hash_tokens_dedup(flat: np.ndarray, starts: np.ndarray,
         _LEN_MASK[_l] = U64((1 << (8 * _l)) - 1) if _l < 8 else U64(2**64 - 1)
     _LEN_MASK[9:] = U64(2**64 - 1)
 
+    # zero-copy sliding byte windows: _words_at gathers ROWS of this view
+    # (one fancy index over n positions) instead of building an (n, 8)
+    # broadcast index matrix — same little-endian u64 reads, ~2x faster
+    _byte_windows = np.lib.stride_tricks.sliding_window_view(flat_p, 8)
+
     def _words_at(pos: np.ndarray) -> np.ndarray:
         """(len(pos),) little-endian u64 read at each byte offset."""
-        b = flat_p[pos[:, None] + np.arange(8, dtype=np.int64)]
-        return np.ascontiguousarray(b).view("<u8")[:, 0]
+        return _byte_windows[pos].view("<u8")[:, 0]
 
     idx8 = np.flatnonzero(lengths <= 8)
     if len(idx8):

@@ -82,10 +82,59 @@ def winnowed_gram_index(docs: DataFrame, id_col: str, text_col: str,
             .withColumnRenamed("id", id_col))
 
 
+def anchor_containment_candidates(signatures: DataFrame,
+                                  cfg: DedupConfig) -> DataFrame:
+    """(src, dst, shared) candidates from the winnowed shingle-stream
+    anchor index (the pipeline's scale path; replaces the KMV inverted-
+    index SELF-join, r5 verdict perf item #4).
+
+    Index side: explode(anchors) — ~2/(w+1) rows per shingle position,
+    ~2·n/w per doc. Probe side: explode(probes) — <= containment_probe_
+    blocks rows per doc. A containee A (>= w shingles, token-aligned
+    paste) is guaranteed to hit: each probe of A is the window minimum of
+    one of A's own w-blocks, and B keeps the identical window minimum at
+    the occurrence offset (MOSS argument, _anchors_and_probes docstring).
+
+    Scale shape vs the KMV scheme: ONE probe->index equi-join with a tiny
+    probe side instead of a full inverted-index self-join, and NO
+    pair-count aggregation (the guarantee is per-probe, not count-based);
+    worst-case join output is n_probes * posting_cap per doc, bounded by
+    the same hot-posting cap that kills boilerplate-header buckets
+    (shared license headers make identical window minima across a whole
+    group — exactly the mega-bucket skew guard reasoning as LSH caps).
+    `shared` = number of distinct matching anchor values (diagnostic).
+    """
+    idx = signatures.select(
+        F.col("file_id").alias("dst"), F.col("n_shingles").alias("nb"),
+        F.explode("anchors").alias("gh"))
+    hot = idx.groupBy("gh").agg(F.count("*").alias("plen"))
+    idx = (idx.join(hot, "gh")
+           .filter(F.col("plen") <= cfg.containment_posting_cap)
+           .drop("plen"))
+    prb = signatures.select(
+        F.col("file_id").alias("src"), F.col("n_shingles").alias("na"),
+        F.explode("probes").alias("gh"))
+    return (
+        idx.join(prb, "gh")
+        .filter((F.col("src") != F.col("dst")) & (F.col("na") <= F.col("nb")))
+        .groupBy("src", "dst")
+        .agg(F.countDistinct("gh").alias("shared"))
+    )
+
+
 def containment_candidates(signatures: DataFrame, cfg: DedupConfig) -> DataFrame:
     """(src, dst, shared) pairs sharing >= min_shared KMV hash values.
 
     src/dst ordered by n_shingles (src = smaller file = containee).
+
+    NOTE: the pipeline uses anchor_containment_candidates (above) — one
+    probe->index join instead of this inverted-index SELF-join with its
+    pair-count aggregation. This variant remains the SMALL-containee
+    fallback: the anchor scheme needs >= containment_anchor_window
+    shingles in the containee regardless of host size, while this one
+    detects containees of ANY size as long as n_host/n_containee <~
+    kmv_k/min_shared (= 16 at defaults) — complementary envelopes, pinned
+    in test_lsh_caps.py::test_containment_candidate_schemes_boundary.
     """
     inv = signatures.select(
         "file_id", "n_shingles", F.explode("kmv").alias("h"))

@@ -40,8 +40,69 @@ SIGNATURE_SCHEMA = (
     "file_id long, repo string, path string, commit string, lang string, "
     "sha string, n_tokens int, n_shingles int, "
     "kmv array<long>, kmv_theta long, kmv_count int, "
-    "minh array<long>, simhash long, bands array<long>"
+    "minh array<long>, simhash long, bands array<long>, "
+    "anchors array<long>, probes array<long>"
 )
+
+_U64_MAX = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+
+def _window_minima_flat(h: np.ndarray, w: int) -> np.ndarray:
+    """Exact min of every length-w sliding window of h, O(len(h)) via the
+    two-pass block prefix/suffix-minimum decomposition (van Herk/Gil-Werman
+    — the standard erosion trick): window [i, i+w) spans at most two
+    w-blocks, so its min = min(suffix_min within the left block from i,
+    prefix_min within the right block up to i+w-1)."""
+    T = len(h)
+    if T < w:
+        return np.empty(0, dtype=h.dtype)
+    pad = (-T) % w
+    hp = np.concatenate([h, np.full(pad, _U64_MAX, h.dtype)]) if pad else h
+    blocks = hp.reshape(-1, w)
+    pref = np.minimum.accumulate(blocks, axis=1).ravel()
+    suff = np.minimum.accumulate(blocks[:, ::-1], axis=1)[:, ::-1].ravel()
+    return np.minimum(suff[: T - w + 1], pref[w - 1 : T])
+
+
+def _anchors_and_probes(
+    sh: np.ndarray, sh_seg: np.ndarray, n: int, w: int, n_probes: int
+) -> tuple[list[np.ndarray], list[np.ndarray]]:
+    """Winnowed containment anchors + probes per doc from the POSITIONAL
+    screened shingle stream (pre-dedup/sort).
+
+    anchors(d) = distinct minima of every w-window of doc d's shingle
+    sequence; probes(d) = minima of d's first <=n_probes non-overlapping
+    w-blocks. MOSS-style guarantee (same argument as winnowed_gram_index
+    but on token shingles, so it reuses the signature stage's hash
+    stream): if doc A's token stream occurs contiguously inside doc B's,
+    every probe of A equals the window minimum B keeps at the occurrence
+    offset — perfect candidate recall for containees with >= w shingles.
+    Each value in the stream contributes to <= w windows, so the expected
+    anchor density is ~2/(w+1) distinct values per position.
+    """
+    _EMPTY = np.empty(0, dtype=np.int64)
+    anchors: list[np.ndarray] = [_EMPTY] * n
+    probes: list[np.ndarray] = [_EMPTY] * n
+    T = len(sh)
+    if T < w:
+        return anchors, probes
+    winmin = _window_minima_flat(sh, w)
+    # contiguous per-doc runs (sh_seg is per-doc contiguous by construction
+    # even though the short-doc block makes it non-monotonic globally)
+    run_starts = np.r_[0, np.flatnonzero(sh_seg[1:] != sh_seg[:-1]) + 1]
+    run_lens = np.diff(np.r_[run_starts, T])
+    for rs, rl in zip(run_starts, run_lens):
+        if rl < w:
+            continue
+        d = int(sh_seg[rs])
+        wm = winmin[rs : rs + rl - w + 1]
+        # adjacent-dedup first (each min value spans ~w consecutive
+        # windows), then sort+unique the small remainder
+        small = wm[np.r_[True, wm[1:] != wm[:-1]]]
+        anchors[d] = np.unique(small).view(np.int64)
+        jmax = min(n_probes, (rl - w) // w + 1)
+        probes[d] = wm[np.arange(jmax, dtype=np.int64) * w].view(np.int64)
+    return anchors, probes
 
 
 def compute_signatures_pdf(pdf: pd.DataFrame, cfg: DedupConfig) -> pd.DataFrame:
@@ -61,6 +122,12 @@ def compute_signatures_pdf(pdf: pd.DataFrame, cfg: DedupConfig) -> pd.DataFrame:
     sh, sh_seg, _n_sh_raw = shingle_hashes_batch(
         tok_h, tok_seg, n_tokens, cfg.shingle_size, cfg.seed)
 
+    # containment anchors/probes from the POSITIONAL stream (before the
+    # dedup sort below destroys position order)
+    anchors_col, probes_col = _anchors_and_probes(
+        sh, sh_seg, n, cfg.containment_anchor_window,
+        cfg.containment_probe_blocks)
+
     # distinct shingle hashes per doc (KMV is over the distinct set).
     # Group by segment with a stable argsort (seg is nearly sorted), then
     # np.sort each contiguous slice in place — ~9x faster than a global
@@ -78,21 +145,25 @@ def compute_signatures_pdf(pdf: pd.DataFrame, cfg: DedupConfig) -> pd.DataFrame:
 
     counts = np.bincount(seg_u, minlength=n)
     k = cfg.kmv_k
-    kmv_col: list[list[int]] = [[] for _ in range(n)]
+    _EMPTY = np.empty(0, dtype=np.int64)
+    kmv_col: list[np.ndarray] = [_EMPTY] * n
     theta_col = np.full(n, MAX_THETA, dtype=np.int64)
     kmv_count = np.zeros(n, dtype=np.int64)
     if len(sh_u):
+        sh_i64 = sh_u.view(np.int64)  # values < 2^63: same bits, no copy
         starts = np.cumsum(counts) - counts
-        # per-doc k smallest: values are sorted within each segment already
+        # per-doc k smallest: values are sorted within each segment
+        # already; cells are numpy slices (Arrow converts ndarray cells
+        # directly — no per-value python int boxing)
         for d in np.flatnonzero(counts):
             s, c = starts[d], counts[d]
             if c > k:
-                theta_col[d] = int(sh_u[s + k])
+                theta_col[d] = sh_i64[s + k]
                 kmv_count[d] = k
-                kmv_col[d] = sh_u[s : s + k].astype(np.int64).tolist()
+                kmv_col[d] = sh_i64[s : s + k]
             else:
                 kmv_count[d] = c
-                kmv_col[d] = sh_u[s : s + c].astype(np.int64).tolist()
+                kmv_col[d] = sh_i64[s : s + c]
 
     minh = minhash_signatures_segmented(sh_u, seg_u, n, cfg.num_perms)
     # SimHash over each doc's KMV subset (deterministic sample of the
@@ -106,13 +177,16 @@ def compute_signatures_pdf(pdf: pd.DataFrame, cfg: DedupConfig) -> pd.DataFrame:
     else:
         sim = np.zeros(n, dtype=U64)
 
-    # LSH band hashes: murmur3 over each 8-perm slice, salted by band index
-    bands = np.empty((n, cfg.num_bands), dtype=np.int64)
+    # LSH band hashes: murmur3 over each 8-perm slice, salted by band
+    # index — ONE fused call over all (doc, band) rows with per-row seeds
+    # (16 tiny per-band calls were pure numpy dispatch overhead at the
+    # cache-sized Arrow batches the stage actually sees)
     r = cfg.rows_per_band
-    for b in range(cfg.num_bands):
-        bh1, _ = murmur3_128_int64_rows(minh[:, b * r : (b + 1) * r],
-                                        cfg.seed + b + 1)
-        bands[:, b] = bh1.astype(np.int64)
+    band_rows = np.ascontiguousarray(minh).reshape(n * cfg.num_bands, r)
+    band_seeds = np.tile(
+        np.arange(cfg.seed + 1, cfg.seed + 1 + cfg.num_bands, dtype=U64), n)
+    bh1, _ = murmur3_128_int64_rows(band_rows, band_seeds)
+    bands = bh1.astype(np.int64).reshape(n, cfg.num_bands)
 
     return pd.DataFrame({
         "file_id": file_id,
@@ -129,6 +203,8 @@ def compute_signatures_pdf(pdf: pd.DataFrame, cfg: DedupConfig) -> pd.DataFrame:
         "minh": list(minh.astype(np.int64)),
         "simhash": sim.astype(np.int64),
         "bands": list(bands),
+        "anchors": anchors_col,
+        "probes": probes_col,
     })
 
 

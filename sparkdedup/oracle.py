@@ -50,10 +50,15 @@ def _file_signatures(files: pd.DataFrame, cfg: DedupConfig) -> pd.DataFrame:
     fid_h1, _ = murmur3_128_bytes(keys, 42)
     file_id = fid_h1.astype(np.int64)
 
+    from sparkdedup.operators.signatures import _anchors_and_probes
+
     rows = []
     for i, text in enumerate(content):
         th, seg, ntok = token_hashes_batch(pd.Series([text]), cfg.seed)
         sh, sseg, _ = shingle_hashes_batch(th, seg, ntok, cfg.shingle_size, cfg.seed)
+        anchors, probes = _anchors_and_probes(
+            sh, sseg, 1, cfg.containment_anchor_window,
+            cfg.containment_probe_blocks)
         shu = np.unique(sh)
         k = cfg.kmv_k
         if len(shu) > k:
@@ -76,6 +81,7 @@ def _file_signatures(files: pd.DataFrame, cfg: DedupConfig) -> pd.DataFrame:
             "kmv": kmv, "kmv_theta": theta,
             "minh": minh, "simhash": sim, "bands": bands,
             "shingles": shu,
+            "anchors": anchors[0], "probes": probes[0],
         })
     return pd.DataFrame(rows)
 
@@ -141,29 +147,39 @@ def run_oracle(files: pd.DataFrame, cfg: DedupConfig,
         if est >= cfg.jaccard_threshold:
             lsh_edges.add((a, b))
 
-    # containment: shared KMV values >= min_shared, then exact substring
+    # containment: winnowed-anchor candidates (probe value of A present in
+    # B's anchor set, hot anchors capped), then exact substring — mirrors
+    # operators/containment.anchor_containment_candidates exactly
     containment_edges: set[tuple[int, int]] = set()
     if containment:
         content_by_id = dict(zip(
             (int(x) for x in fid), files["content"].fillna("")))
-        kmv_sets = {int(r.file_id): set(np.asarray(r.kmv, dtype=U64).tolist())
-                    for r in rep_sigs.itertuples()}
+        anchor_sets = {int(r.file_id):
+                       set(np.asarray(r.anchors, dtype=np.int64).tolist())
+                       for r in rep_sigs.itertuples()}
+        probe_map = {int(r.file_id):
+                     np.asarray(r.probes, dtype=np.int64).tolist()
+                     for r in rep_sigs.itertuples()}
         nsh = {int(r.file_id): int(r.n_shingles) for r in rep_sigs.itertuples()}
-        # posting-cap emulation: hashes shared by too many files are dropped
+        # posting-cap emulation: anchors shared by too many files (shared
+        # boilerplate headers) are dropped from the index side
         posting: dict[int, int] = {}
-        for s in kmv_sets.values():
+        for s in anchor_sets.values():
             for h in s:
                 posting[h] = posting.get(h, 0) + 1
         hot = {h for h, c in posting.items() if c > cfg.containment_posting_cap}
-        ids = sorted(kmv_sets)
-        for i, a in enumerate(ids):
-            for b in ids[i + 1:]:
-                shared = len((kmv_sets[a] & kmv_sets[b]) - hot)
-                if shared >= cfg.containment_min_shared:
-                    small, big = (a, b) if nsh[a] <= nsh[b] else (b, a)
-                    ca, cb = content_by_id[small], content_by_id[big]
+        ids = sorted(anchor_sets)
+        for a in ids:
+            pa = [p for p in probe_map[a] if p not in hot]
+            if not pa:
+                continue
+            for b in ids:
+                if b == a or nsh[a] > nsh[b]:
+                    continue
+                if any(p in anchor_sets[b] for p in pa):
+                    ca, cb = content_by_id[a], content_by_id[b]
                     if ca and ca in cb:
-                        containment_edges.add((small, big))
+                        containment_edges.add((a, b))
 
     uf = _UnionFind()
     for a, b in sha_edges | lsh_edges | containment_edges:

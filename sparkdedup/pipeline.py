@@ -28,7 +28,8 @@ from pyspark.sql import functions as F
 
 from sparkdedup.config import DedupConfig
 from sparkdedup.operators.components import connected_components
-from sparkdedup.operators.containment import containment_candidates, verify_containment
+from sparkdedup.operators.containment import (anchor_containment_candidates,
+                                              verify_containment)
 from sparkdedup.operators.lsh import candidate_pairs
 from sparkdedup.operators.signatures import signature_stage
 from sparkdedup.operators.verify import verify_candidates
@@ -208,7 +209,7 @@ class DedupPipeline:
                 # decomposes (found while chasing the scaling tail: ~50s
                 # at N=1 on 64k files was invisible to per-stage metrics)
                 t_cc0 = time.time()
-                cont_cand = containment_candidates(rep_sigs, cfg)
+                cont_cand = anchor_containment_candidates(rep_sigs, cfg)
                 cont_cand = cont_cand.localCheckpoint()
                 self._write_metrics("containment_candidates", {
                     "seconds": round(time.time() - t_cc0, 3)})

@@ -154,3 +154,49 @@ def test_pack_next_fit_semantics(spark):
     for d, (pid, _) in got.items():
         packs.setdefault(pid, []).append(d)
     assert packs[0 * stride + 2] == [7]
+
+
+def test_containment_candidate_schemes_boundary(spark):
+    """Pins the anchor-vs-KMV containment tradeoff: a containee with
+    >= containment_anchor_window shingles is found by the anchor scheme
+    (MOSS guarantee); a tiny containee (< w shingles) is found only by
+    the KMV inverted-index variant — the documented small-side fallback."""
+    import pandas as pd
+
+    from sparkdedup.operators.containment import (
+        anchor_containment_candidates, containment_candidates)
+    from sparkdedup.operators.signatures import signature_stage
+
+    cfg = DedupConfig()
+    rng = np.random.default_rng(7)
+    vocab = [f"tok{i}" for i in range(400)]
+    big_tokens = [vocab[i] for i in rng.integers(0, 400, 2000)]
+    small_tokens = [vocab[i] for i in rng.integers(0, 400, 40)]  # ~36 shingles
+    inner = " ".join(big_tokens[500:1000])          # >= w-shingle containee
+    host = " ".join(big_tokens[:500]) + " " + inner + " " + \
+        " ".join(big_tokens[1000:])
+    # KMV detects a containee only while n_host/n_containee <~
+    # kmv_k/min_shared (= 16): tiny (~36 shingles) in a ~330-shingle host
+    # shares ~36*128/330 ~= 14 >= 8 KMV values. In a 1000-shingle host
+    # BOTH schemes miss it — neither covers tiny-in-huge.
+    tiny = " ".join(small_tokens)
+    host2 = " ".join(big_tokens[1200:1350]) + " " + tiny + " " + \
+        " ".join(big_tokens[200:350])
+    pdf = pd.DataFrame({
+        "repo": ["r"] * 4, "path": ["inner", "host", "tiny", "host2"],
+        "commit": ["c"] * 4, "lang": ["py"] * 4,
+        "content": [inner, host, tiny, host2],
+    })
+    sigs = signature_stage(spark.createDataFrame(pdf), cfg).cache()
+    ids = {r["path"]: r["file_id"]
+           for r in sigs.select("path", "file_id").collect()}
+
+    anchor_pairs = {(r["src"], r["dst"])
+                    for r in anchor_containment_candidates(sigs, cfg).collect()}
+    kmv_pairs = {(r["src"], r["dst"])
+                 for r in containment_candidates(sigs, cfg).collect()}
+    assert (ids["inner"], ids["host"]) in anchor_pairs
+    assert (ids["inner"], ids["host"]) in kmv_pairs
+    # the tiny containee is below the anchor window: only KMV finds it
+    assert (ids["tiny"], ids["host2"]) not in anchor_pairs
+    assert (ids["tiny"], ids["host2"]) in kmv_pairs

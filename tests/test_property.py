@@ -181,3 +181,26 @@ def test_word_gram_hashes_match_string_grams(texts):
         for j in range(i + 1, len(docs)):
             a, b = docs[i], docs[j]
             assert len(got[a] & got[b]) == len(want[a] & want[b])
+
+
+def test_class_masks_match_lut_all_ascii():
+    """The arithmetic char-class masks inside _token_spans_ascii must
+    equal _CLS_TABLE for every ASCII byte (incl. \\x1c-\\x1f, which
+    python's Unicode \\s counts as whitespace unlike POSIX isspace)."""
+    import numpy as np
+
+    from sparkdedup.functions.tokenize import (_CLS_A, _CLS_D, _CLS_P,
+                                               _CLS_TABLE, _CLS_W)
+
+    buf = np.arange(128, dtype=np.uint8)
+    low = buf | np.uint8(0x20)
+    is_digit = (buf - np.uint8(48)) < np.uint8(10)
+    is_alpha = ((low - np.uint8(97)) < np.uint8(26)) | (buf == np.uint8(95))
+    is_ad = is_alpha | is_digit
+    is_p = ~(is_ad | ((buf - np.uint8(9)) < np.uint8(5))
+             | ((buf - np.uint8(28)) < np.uint8(5)))
+    cls = _CLS_TABLE[buf]
+    assert np.array_equal(is_alpha, cls == _CLS_A)
+    assert np.array_equal(is_digit, cls == _CLS_D)
+    assert np.array_equal(is_p, cls == _CLS_P)
+    assert np.array_equal(~(is_ad | is_p), cls == _CLS_W)
