@@ -219,3 +219,57 @@ def generate_corpus(n_files: int = 500, seed: int = 42,
             "seed": seed,
         },
     )
+
+
+def generate_threshold_band_corpus(
+    n_pairs: int = 120, n_distractors: int = 80, seed: int = 1234,
+    min_lines: int = 40, max_lines: int = 120,
+) -> pd.DataFrame:
+    """Adversarial recall corpus: duplicate pairs whose TRUE shingle
+    Jaccard is spread ACROSS the detection threshold (r5 verdict ask #5 —
+    the standard fixture's dup pairs sit far from the LSH S-curve's
+    steep region, so measured recall there says nothing about
+    near-threshold behavior).
+
+    Each pair = (base file, rename-mutated twin) with per-pair mutation
+    rate r solved from the target Jaccard via the 5-gram survival model
+    s = (1-r)^w, J ~= s/(2-s); pure renames (no drops/inserts) keep the
+    model tight. True J must still be MEASURED per pair from the exact
+    distinct-shingle sets — the model only spreads targets.
+
+    Returns a files DataFrame with columns (repo, path, commit, lang,
+    content, pair_id, role) — role in {base, twin, distractor}.
+    """
+    rng = np.random.default_rng(seed)
+    vocab = np.array([f"id{i}" for i in range(500)])
+    # J targets sweep the S-curve: well below tau, the steep region
+    # around tau=0.7, and the guaranteed-by-theory top end
+    targets = np.linspace(0.50, 0.95, n_pairs)
+    rows = []
+
+    def add(content: str, pair_id: int, role: str):
+        i = len(rows)
+        rows.append({
+            "repo": f"band/r{i % 11}", "path": f"p/{role}{i}.py",
+            "commit": f"c{i}", "lang": "py", "content": content,
+            "pair_id": pair_id, "role": role,
+        })
+
+    w = 5  # shingle size used by the J(r) model (DedupConfig default)
+    for pid, J in enumerate(targets):
+        base = _gen_content(rng, "py", vocab, min_lines, max_lines)
+        s = 2 * J / (1 + J)
+        r = 1.0 - s ** (1.0 / w)
+        toks = base.split(" ")
+        out = []
+        for t in toks:
+            if rng.random() < r:
+                out.append(f"mut{int(rng.integers(0, 10**9))}")
+            else:
+                out.append(t)
+        add(base, pid, "base")
+        add(" ".join(out), pid, "twin")
+    for _ in range(n_distractors):
+        add(_gen_content(rng, "py", vocab, min_lines, max_lines), -1,
+            "distractor")
+    return pd.DataFrame(rows)
