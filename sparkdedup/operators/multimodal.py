@@ -90,7 +90,21 @@ def _decode_one(payload: bytes, kind: str, fmt: str, dim: int):
             md5 = hashlib.md5(samples.astype("<i2").tobytes()).hexdigest()
             return ("wav", 0, 0, rate, len(samples),
                     len(samples) / rate if rate else 0.0, md5, f)
-    except (ValueError, struct.error, zlib.error, IndexError):
+        if fmt == "jpeg":
+            # real baseline-JPEG decode (pure numpy Huffman+IDCT,
+            # functions/jpeg_codec.py) — the former documented stub.
+            # decoded_md5 hashes the reconstructed pixels, which are
+            # LOSSY vs the encoder's input — round-trip identity is
+            # decode(encode(px)) == decode(encode(px)), not px.
+            from sparkdedup.functions.jpeg_codec import decode_jpeg
+
+            px = decode_jpeg(payload)
+            f = image_features(px if px.ndim == 3
+                               else np.repeat(px[..., None], 3, axis=2))
+            md5 = hashlib.md5(np.ascontiguousarray(px).tobytes()).hexdigest()
+            return ("jpeg", px.shape[1], px.shape[0], 0, 0, 0.0, md5, f)
+    except (ValueError, struct.error, zlib.error, IndexError,
+            NotImplementedError):
         # corrupt/truncated payload claiming a decodable magic: never fail
         # the batch — tag it and fall through to the deterministic stub
         return ("corrupt", 0, 0, 0, 0, 0.0, "",

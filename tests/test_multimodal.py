@@ -1,11 +1,13 @@
-"""Multimodal columns: REAL decode for BMP/WAV/PNG (pure numpy + zlib),
-stub fallback for entropy-coded formats, format sniff, exact payload
-dedup — all through the Spark mapInPandas surface."""
+"""Multimodal columns: REAL decode for BMP/WAV/PNG/JPEG (pure numpy +
+zlib; baseline JPEG Huffman+IDCT in functions/jpeg_codec.py), stub
+fallback for remaining entropy-coded formats (MP4/webm), format sniff,
+exact payload dedup — all through the Spark mapInPandas surface."""
 
 import numpy as np
 import pytest
 from pyspark.sql import functions as F
 
+from sparkdedup.functions.jpeg_codec import decode_jpeg, encode_jpeg
 from sparkdedup.functions.media_codecs import (decode_bmp, decode_png,
                                                decode_wav, encode_bmp,
                                                encode_png, encode_wav)
@@ -18,6 +20,7 @@ def _fixture_payloads():
     return {
         "bmp": encode_bmp(img),
         "png": encode_png(img),
+        "jpeg": encode_jpeg(img),
         "wav": encode_wav(samples, 16000),
         "img": img,
         "samples": samples,
@@ -29,13 +32,14 @@ def media(spark):
     p = _fixture_payloads()
     rows = [
         (1, "image", bytearray(p["png"]), "png"),
-        (2, "image", bytearray(b"\xff\xd8\xff\xe0" + b"y" * 80), "jpeg"),
+        (2, "image", bytearray(p["jpeg"]), "jpeg"),
         (3, "audio", bytearray(p["wav"]), "wav"),
         (4, "video", bytearray(b"\x1aE\xdf\xa3" + b"w" * 60), "webm"),
         (5, "image", bytearray(p["png"]), "png"),  # dup of 1
         (6, "image", bytearray(b"???" + b"q" * 10), "unknown"),
         (7, "image", bytearray(p["bmp"]), "bmp"),
         (8, "image", bytearray(b"\x89PNG" + b"\x00" * 20), "png"),  # corrupt
+        (9, "image", bytearray(b"\xff\xd8\xff\xe0" + b"y" * 80), "jpeg"),  # truncated
     ]
     return spark.createDataFrame(
         rows, "media_id long, kind string, payload binary, declared_format string")
@@ -51,6 +55,15 @@ def test_codec_roundtrips():
     s = rng.integers(-32768, 32768, 999).astype(np.int16)
     got, rate = decode_wav(encode_wav(s, 8000))
     assert rate == 8000 and np.array_equal(got, s)
+    # JPEG: lossy but tight on smooth content, deterministic, exact shape
+    smooth = np.linspace(0, 255, 24 * 40).reshape(24, 40).astype(np.uint8)
+    dec = decode_jpeg(encode_jpeg(smooth))
+    assert dec.shape == smooth.shape
+    assert np.abs(dec.astype(int) - smooth.astype(int)).mean() < 3.0
+    assert encode_jpeg(smooth) == encode_jpeg(smooth)
+    color = img.copy()
+    dec3 = decode_jpeg(encode_jpeg(color))
+    assert dec3.shape == color.shape
 
 
 def test_feature_extraction_real_decode(spark, media):
@@ -58,7 +71,7 @@ def test_feature_extraction_real_decode(spark, media):
 
     p = _fixture_payloads()
     feats = extract_media_features(media, dim=17).toPandas()
-    assert len(feats) == 8
+    assert len(feats) == 9
     by_id = feats.set_index("media_id")
     # real decodes report the actual container geometry
     assert by_id.loc[1, "codec"] == "png"
@@ -74,12 +87,15 @@ def test_feature_extraction_real_decode(spark, media):
     # image features embed true mean brightness
     want_mean_r = float(p["img"][:, :, 0].mean() / 255.0)
     assert by_id.loc[1, "feature"][2] == pytest.approx(want_mean_r, abs=1e-5)
-    # entropy-coded formats fall back to the documented stub
-    assert by_id.loc[2, "codec"] == "stub"
+    # baseline JPEG decodes for real now (pure-numpy Huffman+IDCT)
+    assert by_id.loc[2, "codec"] == "jpeg"
+    assert (by_id.loc[2, "width"], by_id.loc[2, "height"]) == (6, 8)
+    # remaining entropy-coded formats fall back to the documented stub
     assert by_id.loc[4, "codec"] == "stub"
     assert by_id.loc[6, "sniffed_format"] == "unknown"
-    # corrupt payload with a decodable magic is tagged, not fatal
+    # corrupt payloads with decodable magics are tagged, not fatal
     assert by_id.loc[8, "codec"] == "corrupt"
+    assert by_id.loc[9, "codec"] == "corrupt"  # truncated JPEG
     # deterministic: identical payloads -> identical features
     assert list(by_id.loc[1, "feature"]) == list(by_id.loc[5, "feature"])
 
@@ -101,8 +117,15 @@ def test_decoded_md5_is_container_independent(spark, media):
     assert feats.loc[7, "decoded_md5"] == want_img  # bmp, same pixels
     assert feats.loc[3, "decoded_md5"] == want_wav
     assert feats.loc[3, "n_samples"] == len(p["samples"])
-    assert feats.loc[2, "decoded_md5"] == ""   # stub
+    # JPEG is LOSSY: decoded_md5 hashes the reconstructed pixels — pinned
+    # to an independent decode of the same payload, not to the source img
+    import numpy as np
+    want_jpeg = hashlib.md5(
+        np.ascontiguousarray(decode_jpeg(bytes(p["jpeg"]))).tobytes()
+    ).hexdigest()
+    assert feats.loc[2, "decoded_md5"] == want_jpeg
     assert feats.loc[8, "decoded_md5"] == ""   # corrupt
+    assert feats.loc[9, "decoded_md5"] == ""   # truncated jpeg
 
 
 def test_encode_media_from_text_roundtrip(spark):
@@ -145,6 +168,6 @@ def test_exact_media_dedup(spark, media):
 
     feats = extract_media_features(media)
     groups = exact_media_dedup(feats).toPandas()
-    assert len(groups) == 7  # 1 and 5 collapse
+    assert len(groups) == 8  # 9 rows, 1 and 5 collapse
     dup = groups[groups.n_copies == 2]
     assert len(dup) == 1 and dup.iloc[0]["rep_media_id"] == 1
