@@ -1220,6 +1220,149 @@ FROM per, tot
 """
 
 
+def q_bigram_lm_docs(spark, sf_dir):
+    """CCNet-style language-model quality score: train an add-one
+    smoothed bigram LM on the corpus itself, then score every document
+    by its per-bigram cross-entropy under that LM — the classic
+    perplexity filter (low = natural prose, high = gibberish/boilerplate
+    the LM has never seen in context).
+
+    Plan shape — the standard one-pass MapReduce LM, Spark-first:
+    bigrams are formed WITHOUT any shuffle (slice/zip_with on the split
+    array, all inside WholeStageCodegen — no posexplode + self-join);
+    the LM table is two partial-aggregated skinny groupBys (bigram and
+    context counts); the context counts and the vocabulary-size scalar
+    are attached to the LM TABLE (LM-sized join + broadcast scalar),
+    not to the corpus stream, so the exploded corpus shuffles exactly
+    ONCE — on the bigram key into the scoring join. At 100 TB the LM
+    table is itself distributed (web-scale vocab is not broadcastable)
+    and both join sides hash-partition on (w1, w2); smoothing
+    guarantees every corpus bigram exists in the LM table, so the join
+    is inner with no miss path. Numerics: counts are exact longs in
+    both engines; each bigram contributes one log2 of a ratio of exact
+    longs (libm, <=1 ulp apart per engine), and the per-doc mean over
+    n~hundreds of such terms carries ~1e-14 relative fp-order noise —
+    six orders below the round(6) gate (same argument as the jaccard
+    rounding gates). Docs with fewer than 2 tokens have no bigrams and
+    drop from the result in both engines by construction."""
+    docs = _read(spark, sf_dir, "documents")
+    w = F.split(F.trim("text"), r"[ \t\n\f\r]+")
+    d = docs.select("doc_id", w.alias("w"))
+    big = (d.filter(F.size("w") >= 2)
+             .select("doc_id", F.expr(
+                 "explode(zip_with(slice(w, 1, size(w) - 1),"
+                 "                 slice(w, 2, size(w) - 1),"
+                 "                 (a, b) -> struct(a AS w1, b AS w2)))"
+                 ).alias("bg"))
+             .select("doc_id", "bg.w1", "bg.w2"))
+    c2 = big.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    # context counts derive FROM the bigram table (sum over w2), not
+    # from a second corpus pass: c1(w) = sum_w2 c2(w, w2) exactly
+    c1 = c2.groupBy("w1").agg(F.sum("c2").alias("c1"))
+    vocab = (d.select(F.explode("w").alias("word")).distinct()
+              .agg(F.count("*").alias("vsz")))
+    lm = (c2.join(c1, "w1")
+            .crossJoin(F.broadcast(vocab))
+            .select("w1", "w2",
+                    F.log2((F.col("c2") + 1) / (F.col("c1") + F.col("vsz")))
+                     .alias("lp")))
+    return (big.join(lm, ["w1", "w2"])
+               .groupBy("doc_id")
+               .agg(F.count("*").alias("n_bigrams"),
+                    F.round(-F.avg("lp"), 6).alias("cross_entropy")))
+
+
+SQL_BIGRAM_LM_DOCS = """
+WITH d AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+  FROM documents
+), big AS (
+  SELECT doc_id, w[t.i] AS w1, w[t.i + 1] AS w2
+  FROM d, LATERAL (SELECT unnest(range(1, len(w))) AS i) t
+  WHERE len(w) >= 2
+), c2 AS (
+  SELECT w1, w2, count(*) AS c2 FROM big GROUP BY 1, 2
+), c1 AS (
+  SELECT w1, count(*) AS c1 FROM big GROUP BY 1
+), v AS (
+  SELECT count(DISTINCT word) AS vsz
+  FROM (SELECT unnest(w) AS word FROM d)
+), lm AS (
+  SELECT c2.w1, c2.w2,
+         log2((c2.c2 + 1) * 1.0 / (c1.c1 + v.vsz)) AS lp
+  FROM c2 JOIN c1 USING (w1), v
+)
+SELECT big.doc_id,
+       count(*) AS n_bigrams,
+       round(-avg(lm.lp), 6) AS cross_entropy
+FROM big JOIN lm ON big.w1 = lm.w1 AND big.w2 = lm.w2
+GROUP BY big.doc_id
+"""
+
+
+def q_tfidf_keywords_docs(spark, sf_dir):
+    """Per-document keyword extraction: top-3 terms by TF-IDF
+    (tf * ln(N / df)) — the feature a curation pipeline uses for topic
+    tagging, clustering features, and per-domain diagnostics.
+
+    Plan shape: tf is one partial-aggregated skinny (doc_id, word)
+    groupBy; df derives FROM tf (vocab-sized, no second corpus pass);
+    the corpus-count scalar is broadcast. The tf->df join partitions on
+    word (at web scale the df table is billions of typo-tail rows — a
+    hash join, deliberately NOT a broadcast). The per-doc top-3 is a
+    row_number window partitioned by doc_id: groups are single-document
+    term lists (bounded by doc length), so the window never gathers
+    more than one doc's terms per task — the mega-group hazard that
+    forces grouped_rank_scalable elsewhere cannot arise. Ordering ties
+    are broken on the ROUNDED score then the word, in BOTH engines:
+    algebraically equal scores reached by different (tf, df) arithmetic
+    (e.g. 2*ln(10) vs ln(100)) can disagree in their last ulp across
+    libms, so ranking on raw doubles would be engine-dependent;
+    round(6) collapses those to exact ties that the word column breaks
+    deterministically."""
+    docs = _read(spark, sf_dir, "documents")
+    w = F.split(F.trim("text"), r"[ \t\n\f\r]+")
+    tok = docs.select("doc_id", F.explode(w).alias("word"))
+    tf = tok.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
+    df = tf.groupBy("word").agg(F.count("*").alias("df"))
+    n = docs.agg(F.count("*").alias("n"))
+    scored = (tf.join(df, "word")
+                .crossJoin(F.broadcast(n))
+                .select("doc_id", "word", "tf",
+                        F.round(F.col("tf") * F.log(F.col("n") / F.col("df")),
+                                6).alias("tfidf")))
+    win = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("word"))
+    return (scored.withColumn("rank", F.row_number().over(win))
+                  .filter(F.col("rank") <= 3)
+                  .select("doc_id", F.col("rank").cast("long").alias("rank"),
+                          "word", "tf", "tfidf"))
+
+
+SQL_TFIDF_KEYWORDS_DOCS = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS word
+  FROM documents
+), tf AS (
+  SELECT doc_id, word, count(*) AS tf FROM tok GROUP BY 1, 2
+), df AS (
+  SELECT word, count(*) AS df FROM tf GROUP BY 1
+), n AS (
+  SELECT count(*) AS n FROM documents
+), scored AS (
+  SELECT tf.doc_id, tf.word, tf.tf,
+         round(tf.tf * ln(n.n * 1.0 / df.df), 6) AS tfidf
+  FROM tf JOIN df USING (word), n
+), r AS (
+  SELECT doc_id, word, tf, tfidf,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY tfidf DESC, word) AS rank
+  FROM scored
+)
+SELECT doc_id, rank, word, tf, tfidf FROM r WHERE rank <= 3
+"""
+
+
 def q_stratified_sample_docs(spark, sf_dir):
     """Stratified curation sample: an exact, deterministic ceil(25%) of
     each language stratum, chosen by md5(doc_id) order (the same
@@ -3152,6 +3295,8 @@ QUERIES = {
     "dedup_clusters_docs": q_dedup_clusters_docs,
     "curation_verdict_docs": q_curation_verdict_docs,
     "chunk_dedup_docs": q_chunk_dedup_docs,
+    "bigram_lm_docs": q_bigram_lm_docs,
+    "tfidf_keywords_docs": q_tfidf_keywords_docs,
     # ---- Tier 3: r5-passed, kept in the window ----
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "decontaminate_docs": q_decontaminate_docs,
@@ -3224,6 +3369,8 @@ ORACLES = {
     "curation_verdict_docs": SQL_CURATION_VERDICT_DOCS,
     "pack_sequences_docs": SQL_PACK_SEQUENCES_DOCS,
     "corpus_stopword_docs": SQL_CORPUS_STOPWORD_DOCS,
+    "bigram_lm_docs": SQL_BIGRAM_LM_DOCS,
+    "tfidf_keywords_docs": SQL_TFIDF_KEYWORDS_DOCS,
     "source_mix_weights": SQL_SOURCE_MIX_WEIGHTS,
     "distinct_users_by_type": SQL_DISTINCT_USERS_BY_TYPE,
     "pricing_summary": SQL_PRICING_SUMMARY,

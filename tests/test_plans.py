@@ -320,3 +320,47 @@ def test_curation_verdict_composite_plan(spark):
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     assert "partial_count" in plan or "partial_min" in plan
+
+
+def test_bigram_lm_plan(spark):
+    """r6: the LM scoring pass — bigrams are formed by slice/zip_with on
+    the split array (no posexplode self-join), the vocabulary-size
+    scalar and the context counts attach to the LM TABLE (broadcast +
+    LM-sized join), and there is no cartesian anywhere. The corpus
+    stream itself shuffles only into the (w1, w2) scoring join and the
+    per-doc aggregation, both partial-agg'd."""
+    plan = _plan(spark, "bigram_lm_docs")
+    assert "zip_with" in plan.lower()           # shuffle-free bigram form
+    assert "BroadcastExchange" in plan          # vocab scalar broadcast
+    assert "CartesianProduct" not in plan
+    # the only nested-loop join allowed is the 1-row scalar cross
+    # (vocab size attach — the same shape source_mix_weights uses)
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
+    assert "partial_count" in plan              # map-side combine on counts
+    assert "partial_sum" in plan                # c1 = sum over c2, NOT a
+    #                                             third corpus tokenization
+    # the bigram explode appears for the scoring stream + the c2/c1
+    # lineage branches (the initial plan recomputes branches; the
+    # identical c2 exchanges dedupe via exchange reuse at runtime) —
+    # never a 4th time
+    assert plan.count("Generate explode(zip_with") <= 3
+
+
+def test_tfidf_keywords_plan(spark):
+    """r6: df derives from tf (ONE corpus explode feeds both), the
+    corpus-count scalar broadcasts, the tf->df join is a hash join (at
+    web scale the df side is not broadcastable by design), and the
+    top-3 window partitions on doc_id (single-doc groups, bounded)."""
+    plan = _plan(spark, "tfidf_keywords_docs")
+    # tf feeds both the scoring stream and the df lineage (column
+    # pruning specializes the df branch, so the initial plan shows two
+    # explodes — never a third)
+    explodes = plan.count("Generate explode")
+    assert explodes <= 2, f"expected <=2 corpus explodes, saw {explodes}"
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+    # the top-3-per-doc limit must run BELOW the doc_id shuffle as a
+    # partial group-limit — each task emits at most 3 rows per doc it
+    # sees, so the window exchange moves O(3 * docs), not every term
+    assert "WindowGroupLimit" in plan
+    assert plan.count("WindowGroupLimit") >= 2  # Partial + Final
