@@ -63,6 +63,36 @@ def run_at(cpus: int, input_path: str, n_files: int, workroot: str,
     return out
 
 
+def run_at_subprocess(cpus: int, input_path: str, n_files: int,
+                      workroot: str, shuffle_mult: int = 1,
+                      part_mult: int = 2) -> dict:
+    """run_at in a FRESH child process (one clean JVM per leg).
+
+    Running consecutive legs in one process reuses the py4j JVM across
+    SparkContext stop/start; at the 256k-file scale this left the second
+    leg's context degraded (RpcEndpointNotFoundException retry storms
+    against the dead scheduler endpoint, 48g of leg-1 heap garbage, CC
+    15.5s vs 4.2s on identical edges — BENCH/scaling_r6_256k_trial1
+    pathology). Subprocess isolation removes the contamination channel
+    entirely; the measured window inside run_at is unchanged."""
+    import subprocess
+
+    code = (
+        "import json, sys; sys.path.insert(0, %r); "
+        "from tools.scaling_bench import run_at; "
+        "print('LEG_JSON: ' + json.dumps(run_at(%d, %r, %d, %r, %d, %d)))"
+        % (os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+           cpus, input_path, n_files, workroot, shuffle_mult, part_mult))
+    proc = subprocess.run([sys.executable, "-c", code],
+                          capture_output=True, text=True)
+    for line in proc.stdout.splitlines():
+        if line.startswith("LEG_JSON: "):
+            return json.loads(line[len("LEG_JSON: "):])
+    raise RuntimeError(
+        f"leg subprocess produced no result (rc={proc.returncode}):\n"
+        f"{proc.stdout[-2000:]}\n{proc.stderr[-2000:]}")
+
+
 def _probe_cpu_work(_):
     import numpy as np
 

@@ -32,7 +32,11 @@ from pathlib import Path
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from tools.scaling_bench import calibrate_vcpu_throughput, run_at  # noqa: E402
+# each leg runs in a FRESH subprocess (clean JVM): same-process
+# SparkContext stop/start reused a degraded py4j JVM at the 256k scale
+# (see run_at_subprocess docstring / BENCH/scaling_r6_256k trial 1)
+from tools.scaling_bench import (  # noqa: E402
+    calibrate_vcpu_throughput, run_at_subprocess)
 
 
 def _steal_probe_once() -> float:
@@ -134,7 +138,7 @@ def main() -> int:
                 leg_gates.append(wait_for_quiet(
                     args.gate, args.gate_timeout, args.steal_gate))
             print(f"trial {t}: running at local[{cpus}] ...", flush=True)
-            runs.append(run_at(cpus, input_path, args.files,
+            runs.append(run_at_subprocess(cpus, input_path, args.files,
                                f"{tmp}/t{t}", args.shuffle_mult,
                                args.part_mult))
             print(json.dumps(runs[-1]), flush=True)
