@@ -50,6 +50,11 @@ def run_at(cpus: int, input_path: str, n_files: int, workroot: str,
                          num_partitions=part_mult * cpus)
     res = pipe.run(files)
     wall = time.time() - t0
+    # loadavg at leg END: the start-of-leg gate cannot see a background
+    # burst arriving mid-leg (the 256k retrial's 4N edges bracket read
+    # 128s in-leg vs 58s in a clean same-code replay — a late burst is
+    # the prime suspect and was unfalsifiable from the evidence file).
+    # A 1-min loadavg above cpus+1 here convicts contamination in-file.
     out = {
         "cpus": cpus,
         "wall_sec": round(wall, 2),
@@ -58,6 +63,7 @@ def run_at(cpus: int, input_path: str, n_files: int, workroot: str,
         "cc_seconds": res.metrics.get("cc_seconds"),
         "cc_iterations": res.metrics.get("cc_iterations"),
         "edges": res.metrics["stages"].get("edges", {}).get("rows"),
+        "loadavg_end": round(os.getloadavg()[0], 2),
     }
     spark.stop()
     return out
