@@ -1363,6 +1363,53 @@ SELECT doc_id, rank, word, tf, tfidf FROM r WHERE rank <= 3
 """
 
 
+def q_pii_scrub_docs(spark, sf_dir):
+    """PII detection + redaction (functions/pii.py): per-doc counts of
+    email / SSN / phone / IPv4 spans plus the redacted text, all in
+    WholeStageCodegen regexp_count/regexp_replace — a pure map stage,
+    nothing shuffles at any corpus size.
+
+    The synthetic documents table contains no PII by construction, so
+    this gate row verifies the zero-hit path over real data (counts
+    AND redacted-text equality against the identical RE2/Java-common
+    patterns in DuckDB); detection itself is verified in
+    tests/test_pii.py on synthetic fixtures carrying every class and
+    the order-dependence cases."""
+    from sparkdedup.functions.pii import pii_scrub
+
+    docs = _read(spark, sf_dir, "documents")
+    return (pii_scrub(docs, "doc_id", "text")
+            .select("doc_id", "n_email", "n_ssn", "n_phone", "n_ip",
+                    "n_pii", F.md5("redacted").alias("redacted_md5")))
+
+
+def _sql_pii_scrub_docs() -> str:
+    """Oracle generated from the SAME PII_PATTERNS table (single source
+    of truth; the patterns are written in the Java-regex/RE2 common
+    subset precisely so this is possible)."""
+    from sparkdedup.functions.pii import PII_PATTERNS
+
+    counts = ",\n       ".join(
+        f"len(regexp_extract_all(text, '{pat}')) AS n_{name}"
+        for name, pat, _ in PII_PATTERNS)
+    total = " + ".join(
+        f"len(regexp_extract_all(text, '{pat}'))"
+        for _name, pat, _ in PII_PATTERNS)
+    redacted = "text"
+    for _name, pat, repl in PII_PATTERNS:
+        redacted = f"regexp_replace({redacted}, '{pat}', '{repl}', 'g')"
+    return f"""
+SELECT doc_id,
+       {counts},
+       {total} AS n_pii,
+       md5({redacted}) AS redacted_md5
+FROM documents
+"""
+
+
+SQL_PII_SCRUB_DOCS = _sql_pii_scrub_docs()
+
+
 def q_stratified_sample_docs(spark, sf_dir):
     """Stratified curation sample: an exact, deterministic ceil(25%) of
     each language stratum, chosen by md5(doc_id) order (the same
@@ -3297,6 +3344,7 @@ QUERIES = {
     "chunk_dedup_docs": q_chunk_dedup_docs,
     "bigram_lm_docs": q_bigram_lm_docs,
     "tfidf_keywords_docs": q_tfidf_keywords_docs,
+    "pii_scrub_docs": q_pii_scrub_docs,
     # ---- Tier 3: r5-passed, kept in the window ----
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "decontaminate_docs": q_decontaminate_docs,
@@ -3320,11 +3368,12 @@ QUERIES = {
     "embedding_neardup_pairs": q_embedding_neardup_pairs,
     "embedding_dedup_docs": q_embedding_dedup_docs,
     "simhash_near_docs": q_simhash_near_docs,
+    # ---- Tail: r5-passed, rotated out of the r6 window (r5 rows on
+    # record; rotate back into the window in r7). pii_scrub_docs'
+    # insertion pushed tuple_user_spend (r5: pass) to position 51. ----
     "tuple_user_spend": q_tuple_user_spend,
     "bloom_member_custkeys": q_bloom_member_custkeys,
     "cms_user_counts": q_cms_user_counts,
-    # ---- Tail: r5-passed, rotated out of the r6 window (r5 rows on
-    # record; rotate back into the window in r7) ----
     "quantiles_prices": q_quantiles_prices,
     "req_bottomk_prices": q_req_bottomk_prices,
     "head_quantiles_prices": q_head_quantiles_prices,
@@ -3371,6 +3420,7 @@ ORACLES = {
     "corpus_stopword_docs": SQL_CORPUS_STOPWORD_DOCS,
     "bigram_lm_docs": SQL_BIGRAM_LM_DOCS,
     "tfidf_keywords_docs": SQL_TFIDF_KEYWORDS_DOCS,
+    "pii_scrub_docs": SQL_PII_SCRUB_DOCS,
     "source_mix_weights": SQL_SOURCE_MIX_WEIGHTS,
     "distinct_users_by_type": SQL_DISTINCT_USERS_BY_TYPE,
     "pricing_summary": SQL_PRICING_SUMMARY,
