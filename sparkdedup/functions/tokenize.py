@@ -72,10 +72,15 @@ def _token_spans_ascii(buf: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     # byte gather runs at ~0.4 GB/s in numpy; these comparisons stream at
     # memory bandwidth). Wraparound does the range test: (x - lo) < span.
     # Identity with _CLS_TABLE is pytest-pinned (test_property.py).
+    # Masks are combined with out= into existing buffers — at 10^8-byte
+    # batches every avoided 1-bool-per-byte temporary is a measurable
+    # fraction of the stage (this scan is the top term of the whole
+    # signature kernel).
     low = buf | np.uint8(0x20)
     is_digit = (buf - np.uint8(48)) < np.uint8(10)
-    is_ad = ((low - np.uint8(97)) < np.uint8(26)) | (buf == np.uint8(95))
-    is_ad |= is_digit
+    is_ad = (low - np.uint8(97)) < np.uint8(26)
+    np.logical_or(is_ad, buf == np.uint8(95), out=is_ad)
+    np.logical_or(is_ad, is_digit, out=is_ad)
     # maximal [A|D] runs via ONE transition scan: every flip of is_ad is
     # either a run start (now inside) or an exclusive run end (now outside)
     flips = np.flatnonzero(is_ad[1:] != is_ad[:-1]) + 1
@@ -88,10 +93,13 @@ def _token_spans_ascii(buf: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
         re_ = np.r_[re_, n]
     # P = not [A|D] and not whitespace. Unicode \s over ASCII is
     # {9..13, 28..31, 32} — \x1c-\x1f (FS/GS/RS/US) count as whitespace
-    # in python's re, unlike POSIX isspace.
-    is_p = ~(is_ad | ((buf - np.uint8(9)) < np.uint8(5))
-             | ((buf - np.uint8(28)) < np.uint8(5)))
-    p_pos = np.flatnonzero(is_p)
+    # in python's re, unlike POSIX isspace. Built in the ws buffer then
+    # inverted in place (p = ~(ws | ad)).
+    ws = (buf - np.uint8(9)) < np.uint8(5)
+    np.logical_or(ws, (buf - np.uint8(28)) < np.uint8(5), out=ws)
+    np.logical_or(ws, is_ad, out=ws)
+    np.logical_not(ws, out=ws)
+    p_pos = np.flatnonzero(ws)
     # digit-led runs containing an A split in two ("99a9b" -> "99", "a9b"):
     # the second token starts at the run's FIRST A. Letter positions are
     # only materialized when a digit-led run exists at all (identifiers
@@ -101,7 +109,10 @@ def _token_spans_ascii(buf: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     digit_led = np.flatnonzero(is_digit[rs]) if len(rs) else \
         np.empty(0, np.int64)
     if len(digit_led):
-        a_positions = np.flatnonzero(is_ad & ~is_digit)
+        # is_digit/is_ad are dead after this point — reuse both in place
+        np.logical_not(is_digit, out=is_digit)
+        np.logical_and(is_ad, is_digit, out=is_ad)
+        a_positions = np.flatnonzero(is_ad)
         if len(a_positions):
             dl_rs, dl_re = rs[digit_led], re_[digit_led]
             cand = np.minimum(np.searchsorted(a_positions, dl_rs),
@@ -112,10 +123,32 @@ def _token_spans_ascii(buf: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
             split_at = first_a[hit]
     run1_ends = re_.copy()
     run1_ends[has_a] = split_at
-    starts = np.concatenate([rs, split_at, p_pos])
-    ends = np.concatenate([run1_ends, re_[has_a], p_pos + 1])
-    order = np.argsort(starts, kind="stable")
-    starts, ends = starts[order], ends[order]
+    run2_starts, run2_ends = split_at, re_[has_a]
+    # Merge the THREE already-sorted, disjoint start streams (run starts,
+    # run second-token starts, punct positions) by rank scatter instead of
+    # argsort+gather over the concatenation: rank(x in A) = index within A
+    # + |B < x| + |C < x|, three vectorized searchsorteds per stream —
+    # O(n log n) with a C constant ~4x smaller than the stable mergesort
+    # this replaces (split_at is sorted: one split per disjoint ascending
+    # run; p_pos never falls inside a run, so the streams are disjoint).
+    nA, nB, nC = len(rs), len(run2_starts), len(p_pos)
+    starts = np.empty(nA + nB + nC, dtype=np.int64)
+    ends = np.empty(nA + nB + nC, dtype=np.int64)
+    rank_a = (np.arange(nA, dtype=np.int64)
+              + np.searchsorted(run2_starts, rs)
+              + np.searchsorted(p_pos, rs))
+    rank_b = (np.arange(nB, dtype=np.int64)
+              + np.searchsorted(rs, run2_starts)
+              + np.searchsorted(p_pos, run2_starts))
+    rank_c = (np.arange(nC, dtype=np.int64)
+              + np.searchsorted(rs, p_pos)
+              + np.searchsorted(run2_starts, p_pos))
+    starts[rank_a] = rs
+    ends[rank_a] = run1_ends
+    starts[rank_b] = run2_starts
+    ends[rank_b] = run2_ends
+    starts[rank_c] = p_pos
+    ends[rank_c] = p_pos + 1
     return starts, ends - starts
 
 
