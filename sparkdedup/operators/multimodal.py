@@ -2,11 +2,15 @@
 and feature-extracted inside Arrow batches.
 
 Decode is REAL for BMP / WAV / PNG (pure numpy + stdlib zlib —
-sparkdedup/functions/media_codecs.py): container parse -> pixel/sample
-array -> resize (block-mean thumbnail) / frame-sample (framed energies).
-Entropy-coded formats (JPEG, MP4, ...) genuinely need external decoder
-libraries that this environment lacks, so they route to the documented
-deterministic stub — swapping it for PIL/ffmpeg changes no Spark code.
+sparkdedup/functions/media_codecs.py), baseline JPEG (pure numpy
+Huffman+IDCT — functions/jpeg_codec.py) and the MP4 container
+(functions/mp4_codec.py: full box-tree parse, metadata + the coded
+sample stream): container parse -> pixel/sample array -> resize
+(block-mean thumbnail) / frame-sample (framed energies). The ONLY
+remaining stub is coded-frame entropy decode inside MP4 (H.264/AAC)
+plus formats not listed above — those genuinely need external decoder
+libraries this environment lacks and route to the documented
+deterministic stub; swapping it for PIL/ffmpeg changes no Spark code.
 
 Scale shape: payloads travel once through a mapInPandas pass (Arrow
 binary transfer, no shuffle of payload bytes); everything after the
@@ -43,7 +47,7 @@ FEATURE_SCHEMA = (
 _MAGIC = {
     b"\x89PNG": "png", b"\xff\xd8\xff": "jpeg", b"GIF8": "gif",
     b"BM": "bmp", b"RIFF": "riff/wav", b"ID3": "mp3", b"OggS": "ogg",
-    b"\x00\x00\x00\x18": "mp4", b"\x1aE\xdf\xa3": "webm",
+    b"\x1aE\xdf\xa3": "webm",
 }
 
 
@@ -51,6 +55,11 @@ def sniff_format(payload: bytes) -> str:
     for magic, name in _MAGIC.items():
         if payload[: len(magic)] == magic:
             return name
+    # ISO BMFF signature is positional, not a prefix: 4-byte box size
+    # then 'ftyp' (the old prefix test b"\x00\x00\x00\x18" only matched
+    # one specific ftyp length)
+    if payload[4:8] == b"ftyp":
+        return "mp4"
     return "unknown"
 
 
@@ -103,6 +112,28 @@ def _decode_one(payload: bytes, kind: str, fmt: str, dim: int):
                                else np.repeat(px[..., None], 3, axis=2))
             md5 = hashlib.md5(np.ascontiguousarray(px).tobytes()).hexdigest()
             return ("jpeg", px.shape[1], px.shape[0], 0, 0, 0.0, md5, f)
+        if fmt == "mp4":
+            # real ISO BMFF container parse (functions/mp4_codec.py) —
+            # the former documented stub. Every curation-relevant
+            # metadatum is real (duration, codec fourcc, dimensions,
+            # sample count) and decoded_md5 hashes the coded-sample
+            # byte stream via the stco/stsc/stsz walk — a
+            # container-layout-INVARIANT content identity (re-muxing
+            # the same samples into different chunking hashes equal,
+            # pytest-pinned). Only the coded-frame entropy decode
+            # (H.264/AAC) still needs external libs; the per-sample
+            # size sequence stands in as the deterministic feature.
+            from sparkdedup.functions.mp4_codec import parse_mp4
+
+            mp4 = parse_mp4(payload)
+            tr = mp4.tracks[0] if mp4.tracks else None
+            if tr is None:
+                raise ValueError("mp4 without tracks")
+            md5 = hashlib.md5(tr.sample_bytes).hexdigest()
+            f = (tr.sample_sizes[:dim].astype(np.float32)
+                 if len(tr.sample_sizes) else np.zeros(1, np.float32))
+            return (tr.codec, tr.width, tr.height, tr.timescale,
+                    tr.n_samples, mp4.duration, md5, f)
     except (ValueError, struct.error, zlib.error, IndexError,
             NotImplementedError):
         # corrupt/truncated payload claiming a decodable magic: never fail
