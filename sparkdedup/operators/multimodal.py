@@ -186,8 +186,14 @@ def encode_media_from_text(docs: DataFrame, width: int = 16,
                            sample_rate: int = 16000) -> DataFrame:
     """Deterministic media table built in-Spark from document text bytes:
     per document one BMP row (utf-8 bytes as 24-bit pixels, fixed-width
-    rows, 0x20-padded to a whole pixel grid) and one WAV row (the bytes as
-    PCM16 little-endian samples, 0x20-padded to a whole sample).
+    rows, 0x20-padded to a whole pixel grid), one WAV row (the bytes as
+    PCM16 little-endian samples, 0x20-padded to a whole sample), and one
+    MP4 row (the bytes chunked into 64-byte coded samples, 0x20-padded to
+    a whole sample — uniform sizes keep the stsz box in its constant-size
+    form, so container overhead is a CONSTANT 543 bytes for k>0 samples /
+    519 for k=0 and n_bytes stays SQL arithmetic; decoded_md5 is the md5
+    of the coded-sample stream the stco/stsc/stsz walk reconstructs,
+    i.e. again exactly text || padding).
 
     Purpose: the sf dirs ship no media table, so this synthesizes one whose
     decode round trip is SQL-predictable — payload sizes and image/audio
@@ -200,6 +206,7 @@ def encode_media_from_text(docs: DataFrame, width: int = 16,
     row padding, so the pixel stream is contiguous text bytes."""
     assert (width * 3) % 4 == 0, "width must keep BMP rows 4-byte aligned"
     from sparkdedup.functions.media_codecs import encode_bmp, encode_wav
+    from sparkdedup.functions.mp4_codec import encode_mp4
 
     row_bytes = width * 3
 
@@ -224,6 +231,15 @@ def encode_media_from_text(docs: DataFrame, width: int = 16,
                 kinds.append("audio")
                 payloads.append(encode_wav(smp, sample_rate))
                 fmts.append("wav")
+                k = -(-n // 64)
+                padded = raw.ljust(k * 64, b" ")
+                ids.append(doc_id)
+                kinds.append("video")
+                payloads.append(encode_mp4(
+                    [padded[i * 64: (i + 1) * 64] for i in range(k)],
+                    timescale=1000, sample_delta=40,
+                    handler="vide", codec="raw ", width=0, height=0))
+                fmts.append("mp4")
             yield pd.DataFrame({"media_id": ids, "kind": kinds,
                                 "payload": payloads,
                                 "declared_format": fmts})

@@ -2532,15 +2532,20 @@ QUALIFY row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) = 1
 
 def q_media_features(spark, sf_dir):
     """Multimodal decode as a driver-checkable round trip: build a media
-    table in-Spark (per document, a real BMP image and a real WAV clip of
-    its text bytes — operators/multimodal.py::encode_media_from_text), run
-    the REAL container decode + feature extraction (decode_bmp/decode_wav
-    in functions/media_codecs.py via extract_media_features), and emit the
+    table in-Spark (per document, a real BMP image, a real WAV clip, and
+    — r6 — a real MP4 container of its text bytes —
+    operators/multimodal.py::encode_media_from_text), run the REAL
+    container decode + feature extraction (decode_bmp/decode_wav/
+    parse_mp4 in functions/ via extract_media_features), and emit the
     scalar features whose values the oracle recomputes as pure SQL
     arithmetic over octet_length(text) — plus decoded_md5, the md5 of the
-    raw decoded byte stream, which must equal md5(text || padding): the
-    full encode -> container parse -> pixel/sample array -> bytes round
-    trip is hash-gated, not just the plumbing.
+    raw decoded byte stream (pixels / PCM samples / the MP4 coded-sample
+    stream reconstructed by the stco/stsc/stsz chunk walk), which must
+    equal md5(text || padding): the full encode -> container parse ->
+    array/stream -> bytes round trip is hash-gated, not just the
+    plumbing. The MP4 branch uses uniform 64-byte samples so the stsz
+    box takes its constant-size form and n_bytes stays closed-form (543
+    + 64k container bytes for k>0 samples, 519 for an empty doc).
 
     Scale shape: payloads are born and consumed inside one scan lineage
     (mapInPandas -> mapInPandas, no payload shuffle); only skinny scalar
@@ -2578,6 +2583,13 @@ SELECT doc_id, 'audio', 'wav',
        CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(16000 AS BIGINT),
        (n + 1) // 2,
        md5(text || repeat(' ', CAST(2 * ((n + 1) // 2) - n AS INT)))
+FROM b
+UNION ALL
+SELECT doc_id, 'video', 'raw ',
+       CASE WHEN n = 0 THEN 519 ELSE 543 + 64 * ((n + 63) // 64) END,
+       CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(1000 AS BIGINT),
+       (n + 63) // 64,
+       md5(text || repeat(' ', CAST(64 * ((n + 63) // 64) - n AS INT)))
 FROM b
 """
 

@@ -130,8 +130,9 @@ def test_decoded_md5_is_container_independent(spark, media):
 
 def test_encode_media_from_text_roundtrip(spark):
     """The in-Spark media builder + real decode reproduce the source text
-    bytes exactly: decoded_md5 == md5(text || space padding) for both the
-    BMP and the WAV row, with the SQL-predictable geometry."""
+    bytes exactly: decoded_md5 == md5(text || space padding) for the BMP,
+    WAV, AND MP4 rows, with the SQL-predictable geometry (the MP4 row's
+    stream comes back through the real stco/stsc/stsz chunk walk)."""
     import hashlib
 
     from sparkdedup.operators.multimodal import (encode_media_from_text,
@@ -142,7 +143,7 @@ def test_encode_media_from_text_roundtrip(spark):
         [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
     feats = (extract_media_features(encode_media_from_text(docs))
              .toPandas().set_index(["media_id", "kind"]).sort_index())
-    assert len(feats) == 2 * len(texts)
+    assert len(feats) == 3 * len(texts)
     for i, t in enumerate(texts):
         raw = t.encode("utf-8")
         n = len(raw)
@@ -160,6 +161,15 @@ def test_encode_media_from_text_roundtrip(spark):
         assert (aud["sample_rate"], aud["n_samples"]) == (16000, ns)
         assert aud["decoded_md5"] == hashlib.md5(
             raw.ljust(2 * ns, b" ")).hexdigest()
+        k = -(-n // 64)
+        vid = feats.loc[(i, "video")]
+        assert vid["sniffed_format"] == "mp4"
+        assert vid["codec"] == "raw "
+        assert vid["n_bytes"] == (519 if k == 0 else 543 + 64 * k)
+        assert (vid["sample_rate"], vid["n_samples"]) == (1000, k)
+        assert vid["duration"] == pytest.approx(k * 40 / 1000)
+        assert vid["decoded_md5"] == hashlib.md5(
+            raw.ljust(64 * k, b" ")).hexdigest()
 
 
 def test_exact_media_dedup(spark, media):
