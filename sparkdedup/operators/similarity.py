@@ -274,6 +274,124 @@ def _cell_assign(df: DataFrame, cents: np.ndarray, n_cells: int,
     return df.mapInPandas(run, schema="vid long, cell int")
 
 
+def _cell_vec_rows(df: DataFrame, cents: np.ndarray, n_cells: int,
+                   id_col: str, vec_col: str, out_id: str,
+                   out_vec: str) -> DataFrame:
+    """(cell, id, vec-as-float64) for each vector's n_cells nearest
+    centroids — the SAME assignment as _cell_assign (identical stack /
+    normalize / argsort arithmetic), fused with a vector passthrough so no
+    join is ever needed to re-attach embeddings to cell entries.  The
+    float32→float64 upcast is exact, so downstream cosine arithmetic is
+    bit-identical to score_pairs' own upcast."""
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf[id_col].to_numpy()
+            v = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            vn = v / np.maximum(np.linalg.norm(v, axis=1, keepdims=True),
+                                1e-12)
+            sim = vn @ cents.T
+            top = np.argsort(-sim, axis=1)[:, :n_cells]
+            n = len(ids)
+            yield pd.DataFrame({
+                "cell": top.reshape(-1).astype(np.int32),
+                out_id: np.repeat(ids, n_cells),
+                out_vec: [v[i] for i in range(n) for _ in range(n_cells)]})
+
+    return df.mapInPandas(
+        run, schema=f"cell int, {out_id} long, {out_vec} array<double>")
+
+
+def _tile_topk_kernel(k: int, round_to: int, exclude_self: bool,
+                      chunk_cells: int = 4_000_000):
+    """Per-tile GEMM + per-probe partial top-k.  Each input row is one
+    (probe-group, index-block) tile: cosines for the whole tile come from
+    one BLAS matmul, and only each probe's top-k rows (under the exact
+    global order: rounded cosine desc, nid asc) are emitted.  Valid
+    partial: a pair outside its tile's per-probe top-k is dominated by
+    >= k same-tile pairs that are also global candidates, so the global
+    top-k is a subset of the union of tile top-ks.  Ordering uses an
+    integer key (rounded cosine is exactly d/10^4) so ties break
+    identically to the SQL window (cosine DESC, nid ASC)."""
+    i64min = np.iinfo(np.int64).min
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for prows, irows in zip(pdf["prows"], pdf["irows"]):
+                if not len(prows) or not len(irows):
+                    continue
+                qids = np.fromiter((r["qid"] for r in prows), np.int64,
+                                   len(prows))
+                Xq = np.stack([r["qv"] for r in prows])
+                nids = np.fromiter((r["nid"] for r in irows), np.int64,
+                                   len(irows))
+                Xi = np.stack([r["nv"] for r in irows])
+                nq = np.sqrt(np.einsum("ij,ij->i", Xq, Xq))
+                ni = np.sqrt(np.einsum("ij,ij->i", Xi, Xi))
+                n_i = len(nids)
+                # tiebreak rank: smaller nid -> smaller tie value
+                order_n = np.argsort(nids, kind="stable")
+                tie = np.empty(n_i, dtype=np.int64)
+                tie[order_n] = np.arange(n_i)
+                kk = min(k, n_i)
+                step = max(1, chunk_cells // n_i)
+                for s in range(0, len(qids), step):
+                    q, qn = Xq[s:s + step], nq[s:s + step]
+                    qid_c = qids[s:s + step]
+                    cos = np.round((q @ Xi.T) / np.outer(qn, ni), round_to)
+                    ci = np.rint(cos * 10_000.0).astype(np.int64)
+                    key = ci * n_i - tie
+                    if exclude_self:
+                        key = np.where(qid_c[:, None] == nids[None, :],
+                                       i64min, key)
+                    top = np.argsort(-key, axis=1)[:, :kk]
+                    out_q = np.repeat(qid_c, kk)
+                    qidx = np.repeat(np.arange(len(qid_c)), kk)
+                    cols = top.reshape(-1)
+                    out_n = nids[cols]
+                    out_c = cos[qidx, cols]
+                    if exclude_self:
+                        m = out_q != out_n
+                        out_q, out_n, out_c = out_q[m], out_n[m], out_c[m]
+                    yield pd.DataFrame({"qid": out_q, "nid": out_n,
+                                        "cosine": out_c})
+
+    return run
+
+
+def _ivf_tiled_topk(pside_df: DataFrame, iside_df: DataFrame,
+                    cents: np.ndarray, n_probe: int, index_assign: int,
+                    k: int, round_to: int, exclude_self: bool,
+                    id_col: str, vec_col: str,
+                    probe_salt: int = 8) -> DataFrame:
+    """Shared IVF execution: posting lists grouped per cell (index side),
+    probe groups per (cell, salt), tiles joined on cell, per-tile GEMM
+    top-k, exact global window over the tiny union.  Candidate SETS are
+    identical to the old pair-join plan (same assignment arithmetic), but
+    no pair-level rows, joins or distinct ever materialize — the shuffles
+    carry each vector once per cell entry instead of once per candidate
+    PAIR (guide §2.3/§8: decide with small rows, never shuffle payload
+    per pair)."""
+    iside = (_cell_vec_rows(iside_df, cents, index_assign, id_col, vec_col,
+                            "nid", "nv")
+             .groupBy("cell")
+             .agg(F.collect_list(F.struct("nid", "nv")).alias("irows")))
+    pside = (_cell_vec_rows(pside_df, cents, n_probe, id_col, vec_col,
+                            "qid", "qv")
+             .withColumn("salt",
+                         F.pmod(F.xxhash64("qid"), F.lit(probe_salt)))
+             .groupBy("cell", "salt")
+             .agg(F.collect_list(F.struct("qid", "qv")).alias("prows")))
+    scored = (pside.join(iside, "cell")
+              .mapInPandas(_tile_topk_kernel(k, round_to, exclude_self),
+                           schema="qid long, nid long, cosine double")
+              # a pair probed via 2+ shared cells scores identically in
+              # each — drop exact-duplicate rows before ranking
+              .distinct())
+    return _topk_ranked(scored, k)
+
+
 def ann_ivf_topk(emb: DataFrame, k: int = 5, n_centroids: int = 16,
                  n_probe: int = 4, seed: int = 9001,
                  sample_cap: int = 65536, round_to: int = 4,
@@ -296,16 +414,9 @@ def ann_ivf_topk(emb: DataFrame, k: int = 5, n_centroids: int = 16,
     hyperplane LSH is oblivious."""
     cents = _fit_codebook(emb, n_centroids, seed, sample_cap,
                           id_col, vec_col, cache_key)
-    cells = _cell_assign(emb, cents, index_assign, id_col, vec_col)
-    probes = _cell_assign(emb, cents, n_probe, id_col, vec_col)
-    cands = (probes.withColumnRenamed("vid", "qid")
-             .join(cells.withColumnRenamed("vid", "nid"), "cell")
-             .filter(F.col("qid") != F.col("nid"))
-             .select("qid", "nid").distinct())
-
-    e1 = emb.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qv"))
-    e2 = emb.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("nv"))
-    return _topk_ranked(score_pairs(cands, e1, e2, round_to), k)
+    return _ivf_tiled_topk(emb, emb, cents, n_probe, index_assign, k,
+                           round_to, exclude_self=True,
+                           id_col=id_col, vec_col=vec_col)
 
 
 def ann_ivf_lookup(probes: DataFrame, index: DataFrame, k: int = 1,
@@ -329,14 +440,9 @@ def ann_ivf_lookup(probes: DataFrame, index: DataFrame, k: int = 1,
     a candidate SUPERSET, so exactness of the rerank is unchanged."""
     cents = _fit_codebook(index, n_centroids, seed, sample_cap,
                           id_col, vec_col, cache_key)
-    cells = _cell_assign(index, cents, index_assign, id_col, vec_col)
-    pcells = _cell_assign(probes, cents, n_probe, id_col, vec_col)
-    cands = (pcells.withColumnRenamed("vid", "qid")
-             .join(cells.withColumnRenamed("vid", "nid"), "cell")
-             .select("qid", "nid").distinct())
-    e1 = probes.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qv"))
-    e2 = index.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("nv"))
-    return _topk_ranked(score_pairs(cands, e1, e2, round_to), k)
+    return _ivf_tiled_topk(probes, index, cents, n_probe, index_assign, k,
+                           round_to, exclude_self=False,
+                           id_col=id_col, vec_col=vec_col)
 
 
 def ann_brute_topk(emb: DataFrame, queries: DataFrame, k: int = 5,
