@@ -18,6 +18,22 @@ from pyspark.sql import functions as F
 from sparkdedup.config import DedupConfig
 
 
+def release_local_checkpoint(df: DataFrame) -> None:
+    """Release a superseded localCheckpoint's storage blocks NOW.
+
+    The JVM holds checkpointed RDDs strongly (they survive GC for the
+    session's lifetime — r6 verdict nit #1 generalized), so iterative
+    operators must drop their superseded rounds explicitly or a long
+    session accumulates one block set per iteration per run. Only call
+    once nothing will read the DataFrame again: a localCheckpoint has no
+    lineage to recompute from."""
+    try:
+        plan = df._jdf.queryExecution().analyzed()
+        plan.rdd().unpersist(False)
+    except Exception:
+        pass  # not a bare LogicalRDD (not checkpoint-backed) — nothing to do
+
+
 def connected_components(
     edges: DataFrame,
     nodes: DataFrame,
@@ -95,11 +111,22 @@ def connected_components(
         new_sum = jump.agg(
             F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
         ).first()["s"]
+        # the .first() above materialized this round's checkpoint, so the
+        # previous round's blocks (and the initial labels') are now
+        # unreachable by any future plan — release them instead of letting
+        # them pile up one block set per iteration for the session's life
+        if checkpoint:
+            release_local_checkpoint(labels)
         labels = jump
         if new_sum == prev_sum:
-            return _with_singletons(nodes, labels), it
+            break
         prev_sum = new_sum
-    return _with_singletons(nodes, labels), cfg.max_cc_iters
+    else:
+        it = cfg.max_cc_iters
+    out = _with_singletons(nodes, labels), it
+    if checkpoint:
+        release_local_checkpoint(sym)
+    return out
 
 
 def cluster_representatives(

@@ -85,11 +85,15 @@ def candidate_pairs(signatures: DataFrame, cfg: DedupConfig) -> DataFrame:
     """
     bands = band_table(signatures)
 
-    # one row per occupied bucket; cached so the has_big probe job below
+    # one row per occupied bucket; pinned so the has_big probe job below
     # MATERIALIZES the aggregate and the bands join + big-branch filter
-    # reuse it instead of recomputing the posexplode + shuffle
+    # reuse it instead of recomputing the posexplode + shuffle.
+    # localCheckpoint, NOT cache: a .cache() here leaked one CacheManager
+    # entry per invocation (never unpersisted — r6 verdict nit #1);
+    # checkpoint blocks are released by the ContextCleaner once the
+    # query's DataFrame is garbage-collected.
     sizes = (bands.groupBy("band", "band_hash")
-             .agg(F.count("*").alias("bsz")).cache())
+             .agg(F.count("*").alias("bsz")).localCheckpoint(eager=False))
     bands = bands.join(sizes, ["band", "band_hash"])
 
     small = bands.filter((F.col("bsz") <= cfg.bucket_cap) & (F.col("bsz") > 1))

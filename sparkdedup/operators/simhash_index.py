@@ -23,18 +23,25 @@ def simhash_near_pairs(sigs: DataFrame, max_hamming: int = 3,
     Exact for max_hamming <= n_pieces - 1 (pigeonhole). sigs needs
     (id_col, sim_col:long).
     """
+    # exactly max_hamming+1 pieces, widths as even as 64 allows (they need
+    # NOT be equal for the pigeonhole argument — only disjoint and
+    # covering).  The old fallback to the next divisor of 64 made d=4 use
+    # EIGHT 8-bit pieces: 256 bucket values per piece meant ~n^2/256
+    # candidate pairs per piece.  Five 13/13/13/13/12-bit pieces give
+    # 8192 values — ~32x fewer join collisions for the same exact result
+    # (the popcount filter already guarantees exactness either way).
     n_pieces = max_hamming + 1
-    if 64 % n_pieces != 0:
-        n_pieces = 8 if max_hamming <= 7 else 16
-    bits = 64 // n_pieces
+    base, extra = divmod(64, n_pieces)
+    widths = [base + (1 if i < extra else 0) for i in range(n_pieces)]
+    offs = [sum(widths[:i]) for i in range(n_pieces)]
+    slices = ", ".join(
+        f"(shiftrightunsigned({sim_col}, {offs[i]}) "
+        f"& CAST({(1 << widths[i]) - 1} AS BIGINT))"
+        for i in range(n_pieces))
 
     pieces = sigs.select(
         F.col(id_col).alias("id"), F.col(sim_col).alias("sh"),
-        F.posexplode(F.expr(
-            f"transform(sequence(0, {n_pieces - 1}), "
-            f"i -> (shiftrightunsigned({sim_col}, i * {bits}) "
-            f"      & CAST({(1 << bits) - 1} AS BIGINT)))")).alias(
-            "piece", "pval"))
+        F.posexplode(F.expr(f"array({slices})")).alias("piece", "pval"))
 
     sizes = pieces.groupBy("piece", "pval").agg(F.count("*").alias("psz"))
     pieces = pieces.join(sizes, ["piece", "pval"]).filter(

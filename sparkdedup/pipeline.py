@@ -156,9 +156,36 @@ class DedupPipeline:
 
     # -- stages --------------------------------------------------------------
 
+    def _persistent_ids(self) -> set[int]:
+        jm = self.spark.sparkContext._jsc.sc().getPersistentRDDs()
+        it = jm.toList().iterator()
+        ids = set()
+        while it.hasNext():
+            ids.add(it.next()._1())
+        return ids
+
+    def _sweep_persisted(self, before: set[int],
+                         keep: list[DataFrame]) -> None:
+        """Release every RDD this run persisted except the live stage
+        outputs (r6 verdict ask #4). Safe at end of run(): every stage
+        output has been materialized to parquet or its own checkpoint, so
+        intermediates (CC rounds, containment candidates, LSH bucket
+        sizes) are unreachable by any future plan."""
+        keep_ids = set()
+        for df in keep:
+            try:
+                keep_ids.add(
+                    df._jdf.queryExecution().analyzed().rdd().id())
+            except Exception:
+                pass  # parquet-backed stage output — nothing persisted
+        sc = self.spark.sparkContext._jsc.sc()
+        for rid in self._persistent_ids() - before - keep_ids:
+            sc.unpersistRDD(rid, False)
+
     def run(self, files: DataFrame) -> PipelineResult:
         cfg = self.cfg
         t_start = time.time()
+        persisted_before = self._persistent_ids()
 
         # stage 1: signatures ------------------------------------------------
         if self._is_done("signatures"):
@@ -181,7 +208,8 @@ class DedupPipeline:
         )
         # rep_sigs feeds four consumers (banding, both verify sides, the
         # containment index): cache it so the sha groupBy + semi-join run
-        # once, not per branch
+        # once, not per branch; unpersisted at the end of stage 3 (the
+        # edges checkpoint is its last consumer — r6 verdict nit #1).
         rep_sigs = sigs.join(
             reps.select(F.col("rep").alias("file_id")), "file_id",
             "left_semi").cache()
@@ -241,6 +269,10 @@ class DedupPipeline:
 
             edges = self._checkpoint(edges, "edges")
 
+        # the edges checkpoint above was rep_sigs' last consumer; release
+        # its storage now so long sessions don't accumulate stage caches
+        rep_sigs.unpersist()
+
         # stage 4: connected components --------------------------------------
         if self._is_done("clusters"):
             clusters = self._load("clusters")
@@ -256,6 +288,7 @@ class DedupPipeline:
             clusters = self._checkpoint(clusters, "clusters")
             self.metrics["cc_iterations"] = iters
 
+        self._sweep_persisted(persisted_before, [sigs, edges, clusters])
         self.metrics["total_seconds"] = round(time.time() - t_start, 3)
         self.metrics["config_hash"] = self.cfg.config_hash()
         return PipelineResult(sigs, edges, clusters, self.metrics)

@@ -266,7 +266,11 @@ def q_ngram_jaccard_pairs(spark, sf_dir):
     word_gram_hashes_batch), so only skinny (doc_id, gh) longs ever leave
     the scan."""
     posting_cap = 64
-    inv = _word_gram_inv(spark, sf_dir).cache()
+    # localCheckpoint, not cache: same single materialization of the gram
+    # kernel for the 3 consumers below, but the blocks are released by the
+    # ContextCleaner after the query is dropped instead of leaking one
+    # CacheManager entry per invocation
+    inv = _word_gram_inv(spark, sf_dir).localCheckpoint(eager=False)
     df_counts = inv.groupBy("gh").agg(F.count("*").alias("df"))
     cold = inv.join(df_counts.filter(F.col("df") <= posting_cap), "gh")
     sizes = cold.groupBy("doc_id").agg(F.count("*").alias("n"))
@@ -337,7 +341,7 @@ def q_decontaminate_docs(spark, sf_dir):
     same skinny (doc_id, gh) longs; no gram strings ever leave the scan
     (functions/tokenize.py::word_gram_hashes_batch, hash-gram identity
     property-tested against string grams)."""
-    inv = _word_gram_inv(spark, sf_dir).cache()
+    inv = _word_gram_inv(spark, sf_dir).localCheckpoint(eager=False)
     is_bench = F.col("doc_id") % 13 == 0
     bench_grams = inv.filter(is_bench).select("gh").distinct()
     corpus = inv.filter(~is_bench)

@@ -204,3 +204,19 @@ def test_cluster_representatives_from_materialized_table(spark, pipeline_result)
         expect[cid] = int(grp[grp["n_tokens"] == mx]["file_id"].min())
     got = reps[reps.is_rep].set_index("cluster_id")["file_id"].to_dict()
     assert got == expect
+
+
+def test_run_leaves_no_cached_rdds(spark, small_corpus, tmp_path_factory):
+    """r6 verdict ask #4: a pipeline run must not leak persisted storage.
+    With a workdir every stage output is parquet-backed, so after run()
+    (which releases superseded CC rounds inline and sweeps its remaining
+    intermediates) the session's persistent-RDD map must be EMPTY —
+    no GC required."""
+    workdir = tmp_path_factory.mktemp("dedup_leak")
+    files = spark.createDataFrame(small_corpus.files)
+    pipe = DedupPipeline(spark, CFG, workdir=str(workdir))
+    before = pipe._persistent_ids()  # other tests share this session
+    res = pipe.run(files)
+    res.clusters.count()
+    leaked = pipe._persistent_ids() - before
+    assert not leaked, f"persisted RDDs leaked by pipeline run: {leaked}"

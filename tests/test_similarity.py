@@ -189,3 +189,28 @@ def test_ivf_codebook_memoized(spark, emb):
     c4 = _fit_codebook(emb, 8, 9001, 4096, "vec_id", "embedding",
                        cache_key=None)
     assert c4 is not c1 and len(_CODEBOOK_CACHE) == 2
+
+
+def test_simhash_index_unequal_pieces_exact(spark):
+    """max_hamming=4 now uses five 13/13/13/13/12-bit pieces (not eight
+    8-bit ones); the pigeonhole stays exact with unequal widths."""
+    import numpy as np
+
+    from sparkdedup.operators.simhash_index import simhash_near_pairs
+
+    rng = np.random.default_rng(11)
+    base = rng.integers(0, 2**63, 50, dtype=np.uint64)
+    sims = list(base)
+    for i in range(20):
+        x = int(base[i % 8])
+        for b in rng.integers(0, 64, size=(i % 5) + 1):
+            x ^= 1 << int(b)
+        sims.append(np.uint64(x))
+    rows = [(i, int(np.int64(s))) for i, s in enumerate(sims)]
+    sigs = spark.createDataFrame(rows, "file_id long, simhash long")
+    got = simhash_near_pairs(sigs, max_hamming=4).toPandas()
+    got_set = set(zip(got.src, got.dst))
+    arr = [int(np.uint64(np.int64(s))) for _, s in rows]
+    want = {(i, j) for i in range(len(arr)) for j in range(i + 1, len(arr))
+            if bin(arr[i] ^ arr[j]).count("1") <= 4}
+    assert got_set == want
