@@ -1311,6 +1311,13 @@ def q_bigram_lm_docs(spark, sf_dir):
                  ).alias("bg"))
              .select("doc_id", "bg.w1", "bg.w2"))
     c2 = big.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    # Materialize the LM-sized bigram table ONCE: c1, the vocabulary and
+    # the scoring join all consume c2, and column pruning specializes
+    # each branch enough that Catalyst's exchange reuse never fires —
+    # without this the corpus explode ran 5x (guide §5: materialize an
+    # intermediate reused by several branches; ContextCleaner reclaims
+    # the blocks with the DataFrame).
+    c2 = c2.localCheckpoint(eager=False)
     # context counts derive FROM the bigram table (sum over w2), not
     # from a second corpus pass: c1(w) = sum_w2 c2(w, w2) exactly
     c1 = c2.groupBy("w1").agg(F.sum("c2").alias("c1"))
