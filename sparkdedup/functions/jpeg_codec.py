@@ -430,10 +430,20 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             scan_comps = []
             for si in range(ns):
                 cid, tt = body[1 + 2 * si], body[2 + 2 * si]
-                comp = next(c for c in comps if c["id"] == cid)
-                scan_comps.append({**comp, "td": tt >> 4, "ta": tt & 0xF})
+                matches = [c for c in comps if c["id"] == cid]
+                if not matches:
+                    raise ValueError(f"SOS references unknown component {cid}")
+                scan_comps.append({**matches[0],
+                                   "td": tt >> 4, "ta": tt & 0xF})
             scan_data = payload[pos:]
             break
+        elif marker == 0xDD:
+            # restart intervals: RSTn markers inside entropy data would be
+            # consumed as padding and decode to garbage — reject instead
+            # (caller tags the row 'corrupt')
+            if int.from_bytes(body[:2], "big"):
+                raise NotImplementedError(
+                    "restart intervals (DRI) not supported")
         elif marker in (0xC2, 0xC3) or 0xC5 <= marker <= 0xCF:
             raise NotImplementedError("only baseline sequential supported")
     if not scan_comps:

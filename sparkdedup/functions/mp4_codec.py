@@ -263,10 +263,15 @@ def _parse_stbl(buf: bytes, start: int, end: int, t: Mp4Track) -> None:
     # sample byte stream via the chunk walk (stsc runs expand to a
     # samples-per-chunk list over the stco chunk table)
     if stco is not None and len(stsc) and t.n_samples:
-        spc_per_chunk = np.empty(len(stco), np.int64)
+        # np.full(-1), not np.empty: a malformed stsc (first_chunk gap or
+        # out-of-range run) must fail deterministically, not read
+        # uninitialized memory
+        spc_per_chunk = np.full(len(stco), -1, np.int64)
         for i, (fc, spc) in enumerate(stsc):
             last = stsc[i + 1][0] - 1 if i + 1 < len(stsc) else len(stco)
             spc_per_chunk[fc - 1: last] = spc
+        if (spc_per_chunk < 0).any():
+            raise ValueError("stsc runs leave chunks uncovered")
         parts, si = [], 0
         for ci, off in enumerate(stco):
             k = int(spc_per_chunk[ci])

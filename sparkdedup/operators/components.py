@@ -49,6 +49,12 @@ def connected_components(
         edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
         .unionByName(edges.select(F.col("dst").alias("a"), F.col("src").alias("b")))
         .distinct()
+        # r7: partition the static edge table by the per-round join key
+        # ONCE, before the checkpoint pins it. The checkpointed RDD keeps
+        # this partitioning, so every iteration's edges-side exchange
+        # drops out of the round loop — at scale that is the largest
+        # per-round shuffle (edges >> labels).
+        .repartition("b")
     )
     if checkpoint:
         # eager=False everywhere in this operator: the next action that
@@ -77,26 +83,24 @@ def connected_components(
     ).first()["s"]
 
     for it in range(1, cfg.max_cc_iters + 1):
-        # neighbor-min: smallest label among self + neighbors.
-        # Mega-cluster skew guard: a near-universal label (e.g. a huge
-        # boilerplate component) makes one groupBy key carry most rows, so
-        # aggregate in two phases over an explicit salt — (a, salt) partial
-        # min, then final min per a — a salted repartition that bounds any
-        # single reducer's input regardless of cluster size. (Map-side
-        # combine helps the same way, but only within a partition; the
-        # salt bounds the REDUCE side too.)
-        salt = F.pmod(F.xxhash64("b"), F.lit(16)).alias("salt")
-        nbr = (
-            sym.join(labels.withColumnRenamed("file_id", "b"), "b")
-            .select("a", "label", salt)
-            .groupBy("a", "salt").agg(F.min("label").alias("plabel"))
-            .groupBy("a").agg(F.min("plabel").alias("nbr_label"))
-            .withColumnRenamed("a", "file_id")
-        )
+        # neighbor-min: smallest label among self + neighbors, as ONE
+        # union + aggregate — the join emits (a, neighbor label) rows,
+        # the labels branch contributes every node's own label, and a
+        # single groupBy(a) min covers both the no-neighbor case (old
+        # left-join + coalesce) and the neighbor min (old two-phase agg).
+        # r7: the former salted (a, salt) pre-aggregation is gone — min
+        # is a partial-aggregating HashAggregate, so the reduce side of
+        # the exchange receives at most one row per key PER MAP TASK
+        # regardless of how many rows share the key; the salt bounded
+        # exactly the same quantity a second time and cost one extra
+        # exchange + aggregate every round. Join-side skew (a hot label
+        # or a high-degree node) stays with AQE's skew-join splitting.
         updated = (
-            labels.join(nbr, "file_id", "left")
-            .select("file_id",
-                    F.least("label", F.coalesce("nbr_label", "label")).alias("label"))
+            sym.join(labels.withColumnRenamed("file_id", "b"), "b")
+            .select("a", "label")
+            .unionByName(labels.select(F.col("file_id").alias("a"), "label"))
+            .groupBy("a").agg(F.min("label").alias("label"))
+            .withColumnRenamed("a", "file_id")
         )
         # pointer jump: label <- label(label) (path halving)
         jump = (

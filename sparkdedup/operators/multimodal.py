@@ -134,7 +134,7 @@ def _decode_one(payload: bytes, kind: str, fmt: str, dim: int):
                  if len(tr.sample_sizes) else np.zeros(1, np.float32))
             return (tr.codec, tr.width, tr.height, tr.timescale,
                     tr.n_samples, mp4.duration, md5, f)
-    except (ValueError, struct.error, zlib.error, IndexError,
+    except (ValueError, struct.error, zlib.error, IndexError, KeyError,
             NotImplementedError):
         # corrupt/truncated payload claiming a decodable magic: never fail
         # the batch — tag it and fall through to the deterministic stub

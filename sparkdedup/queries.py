@@ -3406,62 +3406,9 @@ GROUP BY 1, 2
 #            (their r5 rows are on record; they rotate back in next round).
 
 QUERIES = {
-    # ---- Tier 1: no CORRECTNESS_r05 row (old positions 51-67) ----
-    "reservoir_orders": q_reservoir_orders,
-    "anotb_customers": q_anotb_customers,
-    "kll_hist_prices": q_kll_hist_prices,
-    "hll_union_users": q_hll_union_users,
-    "neardup_clusters_docs": q_neardup_clusters_docs,
-    "media_features": q_media_features,
-    "ann_lsh_lookup": q_ann_lsh_lookup,
-    "ann_ivf_lookup": q_ann_ivf_lookup,
-    "regional_supplier_volume": q_regional_supplier_volume,
-    "part_profit_by_nation": q_part_profit_by_nation,
-    "varopt_orders": q_varopt_orders,
-    "varopt_subset_sum": q_varopt_subset_sum,
-    "reservoir_union_orders": q_reservoir_union_orders,
-    "streaming_hourly_rollup": q_streaming_hourly_rollup,
-    "streaming_first_seen": q_streaming_first_seen,
-    "streaming_heavy_hitters": q_streaming_heavy_hitters,
-    "streaming_chunk_dedup": q_streaming_chunk_dedup,
-    # ---- Tier 2: operator changed in r6 / new in r6 ----
-    "minhash_lsh_docs": q_minhash_lsh_docs,
-    "incremental_neardup_docs": q_incremental_neardup_docs,
-    "cluster_rep_docs": q_cluster_rep_docs,
-    "substr_containment_docs": q_substr_containment_docs,
-    "exact_dedup_docs": q_exact_dedup_docs,
-    "dedup_clusters_docs": q_dedup_clusters_docs,
-    "curation_verdict_docs": q_curation_verdict_docs,
-    "chunk_dedup_docs": q_chunk_dedup_docs,
-    "bigram_lm_docs": q_bigram_lm_docs,
-    "tfidf_keywords_docs": q_tfidf_keywords_docs,
-    "pii_scrub_docs": q_pii_scrub_docs,
-    # ---- Tier 3: r5-passed, kept in the window ----
-    "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
-    "decontaminate_docs": q_decontaminate_docs,
-    "repetition_filter_docs": q_repetition_filter_docs,
-    "stratified_sample_docs": q_stratified_sample_docs,
-    "token_count_docs": q_token_count_docs,
-    "quality_score_docs": q_quality_score_docs,
-    "lang_id_docs": q_lang_id_docs,
-    "doc_fingerprint": q_doc_fingerprint,
-    "freq_top_terms": q_freq_top_terms,
-    "tail_quantiles_prices": q_tail_quantiles_prices,
-    "tdigest_prices": q_tdigest_prices,
-    "req_topk_prices": q_req_topk_prices,
-    "kll_rank_cdf_orders": q_kll_rank_cdf_orders,
-    "kll_quantiles_orders": q_kll_quantiles_orders,
-    "doc_length_buckets": q_doc_length_buckets,
-    "pack_sequences_docs": q_pack_sequences_docs,
-    "corpus_stopword_docs": q_corpus_stopword_docs,
-    "hll_distinct_users": q_hll_distinct_users,
-    "kmv_distinct_tokens": q_kmv_distinct_tokens,
-    "embedding_neardup_pairs": q_embedding_neardup_pairs,
-    "embedding_dedup_docs": q_embedding_dedup_docs,
-    "simhash_near_docs": q_simhash_near_docs,
-    # ---- Tail: r5-passed, rotated out of the r6 window (r5 rows on
-    # record; rotate back into the window in r7). pii_scrub_docs'
-    # insertion pushed tuple_user_spend (r5: pass) to position 51. ----
+    # ---- Tier 1 (r7 verdict ask #1): the 20 queries rotated OUT of the
+    # r6 driver window (r5 rows + judge replica on record) rotate back in
+    # so the r6+r7 driver-row union covers all 70 ----
     "tuple_user_spend": q_tuple_user_spend,
     "bloom_member_custkeys": q_bloom_member_custkeys,
     "cms_user_counts": q_cms_user_counts,
@@ -3482,6 +3429,62 @@ QUERIES = {
     "asof_last_view": q_asof_last_view,
     "pivot_status": q_pivot_status,
     "range_join_activity": q_range_join_activity,
+    # ---- Tier 2: operator/plan changed in the r7 optimization round
+    # (IVF/LSH tiled top-k, CC rewrite, verify/candidate restriction,
+    # chunker kernel, bigram c2 checkpoint, pigeonhole widths, hints) ----
+    "neardup_clusters_docs": q_neardup_clusters_docs,
+    "cluster_rep_docs": q_cluster_rep_docs,
+    "dedup_clusters_docs": q_dedup_clusters_docs,
+    "embedding_dedup_docs": q_embedding_dedup_docs,
+    "embedding_neardup_pairs": q_embedding_neardup_pairs,
+    "minhash_lsh_docs": q_minhash_lsh_docs,
+    "incremental_neardup_docs": q_incremental_neardup_docs,
+    "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+    "decontaminate_docs": q_decontaminate_docs,
+    "substr_containment_docs": q_substr_containment_docs,
+    "simhash_near_docs": q_simhash_near_docs,
+    "ann_lsh_lookup": q_ann_lsh_lookup,
+    "ann_ivf_lookup": q_ann_ivf_lookup,
+    "bigram_lm_docs": q_bigram_lm_docs,
+    "tfidf_keywords_docs": q_tfidf_keywords_docs,
+    "chunk_dedup_docs": q_chunk_dedup_docs,
+    "streaming_chunk_dedup": q_streaming_chunk_dedup,
+    "streaming_heavy_hitters": q_streaming_heavy_hitters,
+    # ---- Tier 3: r6-passed, kept in the window ----
+    "streaming_first_seen": q_streaming_first_seen,
+    "streaming_hourly_rollup": q_streaming_hourly_rollup,
+    "media_features": q_media_features,
+    "exact_dedup_docs": q_exact_dedup_docs,
+    "curation_verdict_docs": q_curation_verdict_docs,
+    "pii_scrub_docs": q_pii_scrub_docs,
+    "kmv_distinct_tokens": q_kmv_distinct_tokens,
+    "varopt_orders": q_varopt_orders,
+    "reservoir_orders": q_reservoir_orders,
+    "reservoir_union_orders": q_reservoir_union_orders,
+    "varopt_subset_sum": q_varopt_subset_sum,
+    "freq_top_terms": q_freq_top_terms,
+    # ---- Tail: r6-passed and untouched this round, rotated out of the
+    # 50-row window (green CORRECTNESS_r06 rows on record) ----
+    "anotb_customers": q_anotb_customers,
+    "kll_hist_prices": q_kll_hist_prices,
+    "hll_union_users": q_hll_union_users,
+    "regional_supplier_volume": q_regional_supplier_volume,
+    "part_profit_by_nation": q_part_profit_by_nation,
+    "repetition_filter_docs": q_repetition_filter_docs,
+    "stratified_sample_docs": q_stratified_sample_docs,
+    "token_count_docs": q_token_count_docs,
+    "quality_score_docs": q_quality_score_docs,
+    "lang_id_docs": q_lang_id_docs,
+    "doc_fingerprint": q_doc_fingerprint,
+    "tail_quantiles_prices": q_tail_quantiles_prices,
+    "tdigest_prices": q_tdigest_prices,
+    "req_topk_prices": q_req_topk_prices,
+    "kll_rank_cdf_orders": q_kll_rank_cdf_orders,
+    "kll_quantiles_orders": q_kll_quantiles_orders,
+    "doc_length_buckets": q_doc_length_buckets,
+    "pack_sequences_docs": q_pack_sequences_docs,
+    "corpus_stopword_docs": q_corpus_stopword_docs,
+    "hll_distinct_users": q_hll_distinct_users,
 }
 
 ORACLES = {

@@ -76,6 +76,21 @@ def test_corrupt_payloads_raise():
         parse_mp4(bytes(bad))
 
 
+def test_stsc_gap_rejected_deterministically():
+    """r7 (ADVICE): a malformed stsc whose runs leave chunks uncovered
+    must raise, never read uninitialized samples-per-chunk values."""
+    good = encode_mp4(SAMPLES)
+    idx = good.find(b"stsc")
+    assert idx > 0
+    bad = bytearray(good)
+    # first_chunk of run 0: 1 -> 2 leaves chunk 1 with no covering run
+    off = idx + 4 + 4 + 4  # tag + version/flags + entry_count
+    assert bad[off:off + 4] == (1).to_bytes(4, "big")
+    bad[off:off + 4] = (2).to_bytes(4, "big")
+    with pytest.raises(ValueError):
+        parse_mp4(bytes(bad))
+
+
 def test_spark_extraction_path(spark):
     """Through extract_media_features: real codec/duration/dims and the
     sample-stream md5, with a corrupt row tagged not failed."""

@@ -181,3 +181,35 @@ def test_exact_media_dedup(spark, media):
     assert len(groups) == 8  # 9 rows, 1 and 5 collapse
     dup = groups[groups.n_copies == 2]
     assert len(dup) == 1 and dup.iloc[0]["rep_media_id"] == 1
+
+
+def test_jpeg_corruption_never_escapes_decode_one():
+    """r7 (ADVICE): DRI-restart JPEGs are rejected (not decoded to
+    garbage), SOS references to unknown components raise ValueError, and
+    bit-flip fuzz over a valid JPEG only ever yields a normal decode or
+    a caught exception -> the Spark path tags 'corrupt' instead of
+    failing the batch."""
+    import pytest
+
+    from sparkdedup.operators.multimodal import _decode_one
+
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)
+    good = encode_jpeg(img)
+    # DRI with nonzero interval inserted right after SOI
+    dri = good[:2] + b"\xff\xdd\x00\x04\x00\x08" + good[2:]
+    with pytest.raises(NotImplementedError):
+        decode_jpeg(dri)
+    assert _decode_one(dri, "image", "jpeg", 16)[0] == "corrupt"
+    # SOS pointing at a component id the SOF never declared
+    idx = good.find(b"\xff\xda")
+    bad_sos = bytearray(good)
+    bad_sos[idx + 5] = 99  # first scan-component id
+    with pytest.raises(ValueError):
+        decode_jpeg(bytes(bad_sos))
+    # bit-flip fuzz: every flip either decodes or tags corrupt/stub
+    for pos in range(2, len(good), max(1, len(good) // 64)):
+        fuzz = bytearray(good)
+        fuzz[pos] ^= 0xFF
+        codec = _decode_one(bytes(fuzz), "image", "jpeg", 16)[0]
+        assert codec in ("jpeg", "corrupt", "stub", "bmp", "png", "wav")
