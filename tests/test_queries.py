@@ -65,16 +65,30 @@ def test_catalog_rotation_window():
     from sparkdedup.queries import ORACLES, QUERIES
 
     names = list(QUERIES)
-    never_gated_r5 = {
-        "reservoir_orders", "anotb_customers", "kll_hist_prices",
-        "hll_union_users", "neardup_clusters_docs", "media_features",
-        "ann_lsh_lookup", "ann_ivf_lookup", "regional_supplier_volume",
-        "part_profit_by_nation", "varopt_orders", "varopt_subset_sum",
-        "reservoir_union_orders", "streaming_hourly_rollup",
-        "streaming_first_seen", "streaming_heavy_hitters",
-        "streaming_chunk_dedup",
+    # r7 rotation: the 20 queries rotated OUT of the r6 window (their
+    # latest driver rows are r5) must be back inside the 50-row window,
+    # as must every operator changed in the r7 optimization round —
+    # together the r6+r7 driver-row union covers all 70.
+    ungated_in_r6 = {
+        "tuple_user_spend", "bloom_member_custkeys", "cms_user_counts",
+        "quantiles_prices", "req_bottomk_prices", "head_quantiles_prices",
+        "source_mix_weights", "distinct_users_by_type", "pricing_summary",
+        "top_revenue_orders", "top_customers_per_nation",
+        "sessionize_events", "hourly_event_rollup", "repeat_buyers_setops",
+        "embedding_norms", "ann_cosine_topk", "cube_sales",
+        "asof_last_view", "pivot_status", "range_join_activity",
     }
-    assert never_gated_r5 <= set(names[:50])
+    changed_in_r7 = {
+        "neardup_clusters_docs", "cluster_rep_docs", "dedup_clusters_docs",
+        "embedding_dedup_docs", "embedding_neardup_pairs",
+        "minhash_lsh_docs", "incremental_neardup_docs",
+        "ngram_jaccard_pairs", "decontaminate_docs",
+        "substr_containment_docs", "simhash_near_docs", "ann_lsh_lookup",
+        "ann_ivf_lookup", "bigram_lm_docs", "tfidf_keywords_docs",
+        "chunk_dedup_docs", "streaming_chunk_dedup",
+        "streaming_heavy_hitters",
+    }
+    assert (ungated_in_r6 | changed_in_r7) <= set(names[:50])
     assert set(ORACLES) <= set(QUERIES)
 
 
