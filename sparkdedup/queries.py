@@ -2018,16 +2018,32 @@ GROUP BY 1, 2
 
 
 def q_top_revenue_orders(spark, sf_dir):
-    """TPC-H Q3 shape: 3-way join + agg + deterministic top-10."""
+    """TPC-H Q3 shape: 3-way join + agg + deterministic top-10.
+
+    Join/agg order is the at-scale shape (r7): the grouping key set
+    (o_orderkey, o_orderdate, o_orderpriority) is functionally dependent
+    on the join key (o_orderkey is the orders primary key), so lineitem
+    is partial-aggregated to one (l_orderkey, revenue) row per order
+    BEFORE any join — the fact-side exchange carries two longs per order
+    instead of every line item — and the selective customer segment
+    filter shrinks orders ~5x via the broadcast dimension join before
+    the orderkey join. The naive form (li ⋈ orders ⋈ customer, then
+    groupBy) sort-merge-joined the full fact table against unfiltered
+    orders once orders outgrew the broadcast threshold. shuffle_hash:
+    both join inputs are aggregate/join outputs with no stats, which
+    otherwise default to sort-merge (two sorts for nothing)."""
     c = _read(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     o = _read(spark, sf_dir, "orders")
     li = _read(spark, sf_dir, "lineitem")
+    o2 = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
+        "o_orderkey", "o_orderdate", "o_orderpriority")
+    rev = (li.groupBy("l_orderkey")
+             .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                  .alias("_rev")))
     return (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
-             .alias("revenue"))
+        rev.join(o2.hint("shuffle_hash"), rev.l_orderkey == o2.o_orderkey)
+        .select("o_orderkey", "o_orderdate", "o_orderpriority",
+                F.round("_rev", 2).alias("revenue"))
         .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
         .limit(10)
     )
