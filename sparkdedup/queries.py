@@ -115,6 +115,23 @@ def _stream_ckpt(name: str) -> str:
     return path
 
 
+def _drain_memory_sink(spark, name: str):
+    """Return the drained memory sink as a DataFrame and drop its
+    catalog entry.
+
+    A memory sink's temp view is registered for the SESSION's lifetime
+    and pins the sink's materialized rows; the DataFrame built here
+    resolves the view eagerly (the analyzed plan holds the sink relation
+    directly), so dropping the view right away costs nothing for the
+    caller but lets the rows be GC'd as soon as the returned frame is
+    released. Without this every invocation leaked one result-sized
+    in-memory table until session end — the gate/bench run 4+ rounds of
+    4 streaming queries in one session (r7 storage hygiene)."""
+    df = spark.table(name)
+    spark.catalog.dropTempView(name)
+    return df
+
+
 # --------------------------------------------------------------------------
 # dedup family
 # --------------------------------------------------------------------------
@@ -2956,7 +2973,7 @@ def q_streaming_hourly_rollup(spark, sf_dir):
          .queryName(name).option("checkpointLocation", ckpt)
          .trigger(availableNow=True).start())
     q.awaitTermination()
-    return spark.table(name).select(
+    return _drain_memory_sink(spark, name).select(
         F.col("hour").cast("timestamp_ntz").alias("hour"),
         "event_type", "n", "sum_value")
 
@@ -2996,7 +3013,7 @@ def q_streaming_first_seen(spark, sf_dir):
          .queryName(name).option("checkpointLocation", ckpt)
          .trigger(availableNow=True).start())
     q.awaitTermination()
-    return spark.table(name).select("text_hash")
+    return _drain_memory_sink(spark, name).select("text_hash")
 
 
 SQL_STREAMING_FIRST_SEEN = """
@@ -3036,7 +3053,7 @@ def q_streaming_heavy_hitters(spark, sf_dir):
          .queryName(name).option("checkpointLocation", ckpt)
          .trigger(availableNow=True).start())
     q.awaitTermination()
-    sink = spark.table(name)
+    sink = _drain_memory_sink(spark, name)
     final = sink.groupBy("group", "item").agg(
         F.max("est_count").alias("n"))
     w = Window.partitionBy("group").orderBy(F.desc("n"), F.asc("item"))
@@ -3094,7 +3111,7 @@ def q_streaming_chunk_dedup(spark, sf_dir):
          .queryName(name).option("checkpointLocation", ckpt)
          .trigger(availableNow=True).start())
     q.awaitTermination()
-    sink = spark.table(name)
+    sink = _drain_memory_sink(spark, name)
     return (sink.groupBy("h")
                 .agg(F.max("n_docs").alias("n_docs"),
                      F.min("rep_doc_id").alias("rep_doc_id"))

@@ -192,3 +192,22 @@ def test_append_emission_boundary_semantics(spark, tmp_path):
         "SQL_STREAMING_HOURLY_ROLLUP to match")
     # the 10:00 window (end 11:00 > watermark) must be withheld
     assert not any(h.startswith("2024-01-01 10") for h in emitted_hours)
+
+
+def test_streaming_gate_queries_leave_no_sink_tables(spark):
+    """Each gate streaming query drops its memory-sink temp view before
+    returning: the view pins the sink's materialized rows for the
+    session's lifetime, and the gate/bench run 4+ rounds of 4 streaming
+    queries in one session. The returned frame must still be readable
+    (its analyzed plan holds the sink relation directly)."""
+    from sparkdedup.queries import QUERIES
+
+    before = {t.name for t in spark.catalog.listTables()}
+    for name in ["streaming_hourly_rollup", "streaming_first_seen",
+                 "streaming_heavy_hitters", "streaming_chunk_dedup"]:
+        df = QUERIES[name](spark, SF_DIR)
+        after = {t.name for t in spark.catalog.listTables()}
+        assert after <= before, (
+            f"{name} left temp table(s) registered: {after - before}")
+        # frame stays readable after the drop, twice (re-analysis safe)
+        assert df.count() == df.count()
