@@ -22,6 +22,11 @@ def test_top_revenue_orders_plan(spark):
     assert "partial_sum" in plan                # map-side combine
     assert "PushedFilters" in plan or "DataFilters" in plan
     assert "CartesianProduct" not in plan
+    # r7: lineitem pre-aggregates to one row per order BEFORE any join,
+    # so no join input ever needs a sort — the naive form SMJ'd the full
+    # fact table against unfiltered orders once orders outgrew the
+    # broadcast estimate
+    assert "SortMergeJoin" not in plan
 
 
 def test_pricing_summary_scan_pruned(spark):
